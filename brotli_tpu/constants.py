@@ -103,15 +103,14 @@ CMD_LUT = _build_cmd_lut()
 def combine_length_codes(ins_code: int, copy_code: int, use_last_distance: bool) -> int:
     """Inverse of CMD_LUT: (insert code, copy code) -> command code."""
     bits64 = ((ins_code & 7) << 3) | (copy_code & 7)
-    ih, ch = ins_code >> 3, copy_code >> 3
-    if use_last_distance and ih < 2 and ch == 0:
-        # cells 0/1 keep the implicit-last-distance encodings alive
-        return (ih << 6) | bits64
+    if use_last_distance and ins_code < 8 and copy_code < 16:
+        # cells 0/1: implicit-last-distance encodings (insert 0-7, copy 0-15)
+        return bits64 if copy_code < 8 else (bits64 | 64)
     cell_of = {  # (insert_high, copy_high) -> cell
         (0, 0): 2, (0, 1): 3, (1, 0): 4, (1, 1): 5,
         (0, 2): 6, (2, 0): 7, (1, 2): 8, (2, 1): 9, (2, 2): 10,
     }
-    return (cell_of[(ih, ch)] << 6) | bits64
+    return (cell_of[(ins_code >> 3, copy_code >> 3)] << 6) | bits64
 
 
 def get_insert_length_code(insertlen: int) -> int:

@@ -1,0 +1,84 @@
+"""Greedy backward-reference selection (qualities 1-9).
+
+Semantics follow the reference scan loop (backward-references.ts:14-134)
+exactly — including its quirks that reach the bitstream:
+  * max backward window hardcoded to (1<<22)-16 regardless of lgwin,
+  * greedy match length capped at 128,
+  * q<=2 stores only every 4th position of a match body,
+  * store end = min(pos+len, pos_end-4).
+"""
+
+from __future__ import annotations
+
+from .command import Command, distance_to_code, make_command, make_insert_command
+from .matching import SearchResult
+
+GREEDY_MAX_WINDOW = (1 << 22) - 16  # reference quirk: lgwin-independent
+
+
+def create_backward_references(
+    num_bytes: int,
+    position: int,
+    data,
+    mask: int,
+    hasher,
+    dist_cache: list[int],
+    last_insert_len: int,
+    quality: int,
+    npostfix: int = 0,
+    ndirect: int = 0,
+) -> tuple[list[Command], int, int]:
+    """Returns (commands, num_literals, trailing_insert_len)."""
+    commands: list[Command] = []
+    num_literals = 0
+    insert_len = last_insert_len
+    pos = position
+    pos_end = position + num_bytes
+    result = SearchResult()
+
+    while pos < pos_end:
+        max_len = pos_end - pos
+        if max_len < 4:
+            insert_len += max_len
+            pos += max_len
+            break
+        max_backward = min(pos, GREEDY_MAX_WINDOW)
+        result.reset()
+        hasher.find_longest_match(
+            data, mask, dist_cache, pos, min(max_len, 128), max_backward, result
+        )
+        if result.len >= 4 and result.score > 0 and result.distance > 0:
+            distance = result.distance
+            match_len = result.len
+            if distance > pos:
+                insert_len += 1
+                pos += 1
+                continue
+            dist_code = distance_to_code(distance, dist_cache)
+            commands.append(
+                make_command(
+                    insert_len, match_len, result.len_code_delta, dist_code,
+                    ndirect, npostfix,
+                )
+            )
+            num_literals += insert_len
+            if dist_code > 0:
+                dist_cache[3] = dist_cache[2]
+                dist_cache[2] = dist_cache[1]
+                dist_cache[1] = dist_cache[0]
+                dist_cache[0] = distance
+            store_end = min(pos + match_len, pos_end - 4)
+            step = 4 if quality <= 2 else 1
+            for i in range(pos + 1, store_end, step):
+                hasher.store(data, mask, i)
+            pos += match_len
+            insert_len = 0
+        else:
+            insert_len += 1
+            pos += 1
+
+    if insert_len > 0:
+        commands.append(make_insert_command(insert_len))
+        num_literals += insert_len
+        insert_len = 0
+    return commands, num_literals, insert_len
