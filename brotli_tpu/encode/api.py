@@ -167,12 +167,125 @@ def _encode_standard(data: bytes, params: EncoderParams) -> bytes:
 
         from .metablock_full import store_metablock
 
+        prelude = (data[pos - 1], data[pos - 2]) if pos >= 2 else (0, 0)
         store_metablock(
             w, data, pos, mb_len, _NO_MASK, is_last, commands,
             params.dist_alphabet_size, params.quality,
             params.dist.npostfix, params.dist.ndirect, params.mode,
+            context_prelude=prelude,
         )
         pos += mb_len
+    return w.finish()
+
+
+def encode_fragment(
+    data: bytes,
+    *,
+    quality: int | None = None,
+    lgwin: int | None = None,
+    mode: int | None = None,
+    first: bool = True,
+    last: bool = True,
+    context_prelude: tuple[int, int] = (0, 0),
+) -> bytes:
+    """Encode one shard of a larger stream as a byte-aligned fragment.
+
+    Concatenating fragments (first=True for shard 0, last=True for the final
+    shard) yields one valid Brotli stream: each non-last fragment ends with an
+    empty metadata block, whose header forces the decoder to a byte boundary
+    (RFC 9.2), so fragments can be encoded independently — with the LZ window
+    reset at shard boundaries — and spliced by plain concatenation.  This is
+    the metablock-sharding scheme of SURVEY.md section 2.3.
+    """
+    params = make_params(quality, lgwin, mode, len(data))
+    data = bytes(data)
+    w = BitWriter()
+    if first:
+        nbits, value = encode_window_bits(params.lgwin, params.large_window)
+        w.write(nbits, value)
+    if len(data) == 0:
+        if last:
+            w.write(1, 1)
+            w.write(1, 1)
+        else:  # empty metadata block re-aligns the reader
+            w.write(1, 0)
+            w.write(2, 3)
+            w.write(1, 0)
+            w.write(2, 0)
+        w.align_to_byte()
+        return w.finish()
+
+    padded = _padded(data)
+    # Non-first fragments cannot assume the decoder's distance ring (it
+    # carries over from the previous shard): a sentinel cache suppresses
+    # short/implicit distance codes until 4 real distances are pushed, at
+    # which point encoder cache and decoder ring provably agree.
+    dist_cache = [4, 11, 15, 16] if first else [-1, -1, -1, -1]
+    n = len(data)
+    if params.quality == 0:
+        pos = 0
+        max_block = (1 << 24) - 1
+        while pos < n:
+            block = min(n - pos, max_block)
+            is_final = last and pos + block >= n
+            store_uncompressed_metablock(w, data, pos, n - 1, block, is_final)
+            pos += block
+    else:
+        hasher = _make_hasher(params, n)
+        block_size = 1 << params.lgblock if params.quality == 1 else 1 << 24
+        pos = 0
+        while pos < n:
+            block_len = min(n - pos, block_size)
+            is_last_mb = last and pos + block_len >= n
+            last_insert_len = 0
+            if params.quality >= ZOPFLIFICATION_QUALITY:
+                from .backward_refs_hq import (
+                    create_hq_zopfli_backward_references,
+                    create_zopfli_backward_references,
+                )
+
+                fn = (
+                    create_hq_zopfli_backward_references
+                    if params.quality >= HQ_ZOPFLIFICATION_QUALITY
+                    else create_zopfli_backward_references
+                )
+                commands, _, last_insert_len = fn(
+                    block_len, pos, padded, _NO_MASK, hasher, dist_cache, 0,
+                    params.dist.npostfix, params.dist.ndirect,
+                )
+            else:
+                commands, _, last_insert_len = create_backward_references(
+                    block_len, pos, padded, _NO_MASK, hasher, dist_cache, 0,
+                    params.quality, params.dist.npostfix, params.dist.ndirect,
+                )
+            commands = _merge_trailing_literals(commands, last_insert_len, block_len)
+            if params.quality == 1:
+                store_metablock_trivial(
+                    w, data, pos, block_len, _NO_MASK, is_last_mb, commands,
+                    params.dist_alphabet_size,
+                    params.dist.npostfix, params.dist.ndirect,
+                )
+            else:
+                from .metablock_full import store_metablock
+
+                prelude = (
+                    (data[pos - 1], data[pos - 2]) if pos >= 2 else context_prelude
+                )
+                store_metablock(
+                    w, data, pos, block_len, _NO_MASK, is_last_mb, commands,
+                    params.dist_alphabet_size, params.quality,
+                    params.dist.npostfix, params.dist.ndirect, params.mode,
+                    context_prelude=prelude,
+                )
+            pos += block_len
+    if not last:
+        # empty metadata block: ISLAST=0, MNIBBLES=3, reserved=0, MSKIPBYTES=0;
+        # its header byte-aligns the reader (decode side jumps to boundary).
+        w.write(1, 0)
+        w.write(2, 3)
+        w.write(1, 0)
+        w.write(2, 0)
+        w.align_to_byte()
     return w.finish()
 
 

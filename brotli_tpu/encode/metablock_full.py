@@ -193,7 +193,14 @@ def store_metablock(
     npostfix: int = 0,
     ndirect: int = 0,
     mode: int = 0,
+    context_prelude: tuple[int, int] = (0, 0),
 ) -> None:
+    """`context_prelude` = (p1, p2): the two output bytes preceding this
+    metablock.  The decoder's literal-context state carries across metablock
+    boundaries (decode side: engine.ts:1218-1219 reads ring[pos-1/-2]), so a
+    non-first metablock/fragment must model from the true prior bytes — the
+    reference hardcodes 0,0 (metablock.ts:576-577), which desyncs
+    context-modeled multi-metablock streams; fixed here."""
     if length < 128 or quality < 5 or len(commands) < 6:
         store_metablock_trivial(
             w, data, start_pos, length, mask, is_last, commands,
@@ -250,7 +257,7 @@ def store_metablock(
     else:
         dist_len = len(commands)
 
-    prev1 = prev2 = 0
+    prev1, prev2 = context_prelude
     for cmd in commands:
         while cmd_count >= cmd_len and cmd_idx + 1 < command_split.num_blocks:
             cmd_idx += 1
@@ -335,7 +342,7 @@ def store_metablock(
     distance_enc.build_and_store_huffman_trees(w, clustered_dist)
 
     pos = start_pos
-    prev1 = prev2 = 0
+    prev1, prev2 = context_prelude
     for cmd in commands:
         command_enc.store_symbol(w, cmd.cmd_prefix)
         store_command_extra(w, cmd)

@@ -7,12 +7,19 @@ Must run before any `import jax` in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the axon harness exports JAX_PLATFORMS=axon, so a
+# plain setdefault would keep the real TPU. Tests always run on the 8-device
+# virtual CPU mesh (override with BROTLI_TPU_TEST_PLATFORM if ever needed).
+os.environ["JAX_PLATFORMS"] = os.environ.get("BROTLI_TPU_TEST_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import pytest  # noqa: E402
 

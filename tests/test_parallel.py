@@ -1,0 +1,62 @@
+"""Parallel layer: mesh-sharded decode (8 virtual CPU devices) + sharded encode."""
+
+import jax
+import pytest
+
+from brotli_tpu import decode
+from brotli_tpu.encode import encode
+from brotli_tpu.encode.api import encode_fragment
+from brotli_tpu.parallel import get_mesh, parallel_encode, sharded_decode_batch
+from brotli_tpu.parallel.mesh import broadcast_dictionary
+
+from conftest import VECTORS_DIR
+
+ALICE = open(f"{VECTORS_DIR}/alice29.txt", "rb").read()
+
+
+def test_mesh_has_8_devices():
+    assert get_mesh().devices.size == 8
+
+
+@pytest.mark.parametrize("quality", [1, 5, 11])
+def test_parallel_encode_roundtrip(quality):
+    enc = parallel_encode(ALICE, quality=quality, shard_size=20000, num_workers=2)
+    assert decode(enc) == ALICE
+
+
+def test_parallel_encode_single_shard_matches_oneshot():
+    enc = parallel_encode(ALICE[:30000], quality=5, shard_size=1 << 20)
+    assert enc == encode(ALICE[:30000], quality=5, size_hint=30000)
+
+
+def test_fragment_concat_various_counts():
+    data = ALICE[:60000]
+    for n in (2, 3, 7):
+        size = -(-len(data) // n)
+        frags = []
+        for i in range(n):
+            off = i * size
+            shard = data[off : off + size]
+            prelude = (data[off - 1], data[off - 2]) if off >= 2 else (0, 0)
+            frags.append(
+                encode_fragment(
+                    shard, quality=5, first=(i == 0), last=(i == n - 1),
+                    context_prelude=prelude,
+                )
+            )
+        assert decode(b"".join(frags)) == data
+
+
+def test_sharded_decode_over_mesh():
+    mesh = get_mesh()
+    datas = [ALICE[i * 1500 : (i + 1) * 1500] for i in range(16)]
+    streams = [encode(d, quality=1) for d in datas]
+    outs = sharded_decode_batch(streams, mesh)
+    assert all(o == d for o, d in zip(outs, datas))
+
+
+def test_dictionary_broadcast_replicated():
+    mesh = get_mesh()
+    d = broadcast_dictionary(mesh)
+    assert d.shape == (122784,)
+    assert bytes(d[:4].tolist()) == b"time"
