@@ -63,6 +63,7 @@ class PreflightResult:
     dist_extra: np.ndarray   # (MAX_DIST_ALPHABET,) int8-ish
     dist_offset: np.ndarray  # (MAX_DIST_ALPHABET,) int32
     npostfix: int
+    ndirect: int
 
 
 def preflight(data: bytes) -> PreflightResult | None:
@@ -117,6 +118,7 @@ def preflight(data: bytes) -> PreflightResult | None:
         dist_extra=dist_extra,
         dist_offset=dist_offset,
         npostfix=st.npostfix,
+        ndirect=st.ndirect,
     )
 
 
