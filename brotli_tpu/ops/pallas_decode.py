@@ -471,3 +471,34 @@ def resolve_tokens_py(tokens: "np.ndarray", lane: int, out_len: int) -> bytes:
         if pos >= out_len:
             break
     return bytes(out[:pos])
+
+
+def decode_batch_pallas(streams: list[bytes], n_threads: int = 8,
+                        interpret: bool = False) -> list[bytes]:
+    """Full TPU decode pipeline: entropy kernel + native LZ resolution.
+
+    Device-ineligible streams and error lanes fall back to the host decoder.
+    """
+    from ..decode import decode as host_decode
+    from ..native import lz_resolve_batch
+    from .device_decode import preflight
+
+    pre = [preflight(s) for s in streams]
+    results: list[bytes | None] = [None] * len(streams)
+    device_idx = [i for i, p in enumerate(pre) if p is not None]
+    for i, p in enumerate(pre):
+        if p is None:
+            results[i] = host_decode(streams[i])
+    if device_idx:
+        batch = [pre[i] for i in device_idx]
+        tokens, phases, mlens = run_pallas_batch(batch, interpret=interpret)
+        expected = np.zeros(tokens.shape[1], dtype=np.int64)
+        for k in range(len(batch)):
+            expected[k] = batch[k].mlen
+        out, lens = lz_resolve_batch(tokens, expected, n_threads)
+        for k, i in enumerate(device_idx):
+            if phases[k] != DONE or lens[k] != batch[k].mlen:
+                results[i] = host_decode(streams[i])  # dict ref / error lane
+            else:
+                results[i] = bytes(out[k, : lens[k]])
+    return results  # type: ignore[return-value]
