@@ -16,7 +16,14 @@ Layout:
 """
 
 from .decode import decode, decoded_size, BrotliError
+from .encode import encode, Encoder, encode_fragment
+from .encode.sharded import encode_sharded, encode_sharded_concat
 
 __version__ = "0.1.0"
 
-__all__ = ["decode", "decoded_size", "BrotliError", "__version__"]
+__all__ = [
+    "decode", "decoded_size", "BrotliError",
+    "encode", "Encoder", "encode_fragment",
+    "encode_sharded", "encode_sharded_concat",
+    "__version__",
+]

@@ -1,5 +1,5 @@
 """Brotli encode pipeline (quality-tiered, host golden path + device kernels)."""
 
-from .api import Encoder, encode
+from .api import Encoder, encode, encode_fragment
 
-__all__ = ["encode", "Encoder"]
+__all__ = ["encode", "Encoder", "encode_fragment"]

@@ -220,7 +220,7 @@ def encode_fragment(
     # carries over from the previous shard): a sentinel cache suppresses
     # short/implicit distance codes until 4 real distances are pushed, at
     # which point encoder cache and decoder ring provably agree.
-    dist_cache = [4, 11, 15, 16] if first else [-1, -1, -1, -1]
+    dist_cache = [4, 11, 15, 16] if first else [-(1 << 30)] * 4
     n = len(data)
     if params.quality == 0:
         pos = 0

@@ -228,11 +228,8 @@ def _store_code_length_code(w: BitWriter, num_codes: int, cl_depths) -> None:
         w.write(_CLCL_NBITS[ln], _CLCL_SYMBOLS[ln])
 
 
-def build_and_store_huffman_tree(
-    w: BitWriter, histogram, alphabet_size: int
-) -> tuple[list[int], list[int]]:
-    """Build a code from `histogram`, store its description, return
-    (depths, bits) for subsequent symbol emission."""
+def build_huffman_code(histogram, alphabet_size: int):
+    """Build (depths, bits, count, s4) from a histogram without storing."""
     count = 0
     s4 = [0, 0, 0, 0]
     for i in range(alphabet_size):
@@ -240,23 +237,35 @@ def build_and_store_huffman_tree(
             if count < 4:
                 s4[count] = i
             count += 1
-    max_bits = (alphabet_size - 1).bit_length()
+    if count <= 1:
+        return [0] * alphabet_size, [0] * alphabet_size, count, s4
+    depths = create_huffman_depths(histogram, alphabet_size, MAX_HUFFMAN_BITS)
+    bits = depths_to_bits(depths)
+    return depths, bits, count, s4
 
-    depths = [0] * alphabet_size
-    bits = [0] * alphabet_size
+
+def store_huffman_tree(
+    w: BitWriter, depths, alphabet_size: int, count: int, s4
+) -> None:
+    """Store a previously-built code's tree description (RFC 3.4/3.5)."""
+    max_bits = (alphabet_size - 1).bit_length()
     if count <= 1:
         # 4 bits: HSKIP=1 (2 bits) + NSYM-1=0 (2 bits)
         w.write(4, 1)
         w.write(max_bits, s4[0])
-        return depths, bits
-
-    depths = create_huffman_depths(histogram, alphabet_size, MAX_HUFFMAN_BITS)
-    bits = depths_to_bits(depths)
-
-    if count <= 4:
+    elif count <= 4:
         _store_simple_tree(w, depths, s4, count, max_bits)
     else:
         _store_complex_tree(w, depths, alphabet_size)
+
+
+def build_and_store_huffman_tree(
+    w: BitWriter, histogram, alphabet_size: int
+) -> tuple[list[int], list[int]]:
+    """Build a code from `histogram`, store its description, return
+    (depths, bits) for subsequent symbol emission."""
+    depths, bits, count, s4 = build_huffman_code(histogram, alphabet_size)
+    store_huffman_tree(w, depths, alphabet_size, count, s4)
     return depths, bits
 
 
