@@ -32,11 +32,13 @@ def get_lib() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         lib = ctypes.CDLL(str(_build()))
-        lib.lz_resolve_batch.restype = ctypes.c_int
-        lib.lz_resolve_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
-        ]
+        for name in ("lz_resolve_batch", "lz_resolve_batch_v2"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ]
         _LIB = lib
     return _LIB
 
@@ -58,6 +60,28 @@ def lz_resolve_batch(tokens, expected_lens, n_threads: int = 8):
     out = np.zeros((n_lanes, cap), dtype=np.uint8)
     lib = get_lib()
     lib.lz_resolve_batch(
+        tokens.ctypes.data_as(ctypes.c_void_p),
+        n_rows, n_lanes,
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+        lens.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    return out, lens
+
+
+def lz_resolve_batch_v2(tokens, expected_lens, n_threads: int = 8):
+    """v2-token variant of lz_resolve_batch (see ops/pallas_decode2.py)."""
+    import numpy as np
+
+    tokens = np.ascontiguousarray(tokens, dtype=np.uint32)
+    n_rows, n_lanes = tokens.shape
+    lens = np.asarray(expected_lens, dtype=np.int64).copy()
+    assert lens.shape == (n_lanes,)
+    cap = max(1, int(lens.max()))
+    out = np.zeros((n_lanes, cap), dtype=np.uint8)
+    lib = get_lib()
+    lib.lz_resolve_batch_v2(
         tokens.ctypes.data_as(ctypes.c_void_p),
         n_rows, n_lanes,
         out.ctypes.data_as(ctypes.c_void_p),

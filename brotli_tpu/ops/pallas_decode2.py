@@ -1,0 +1,752 @@
+"""Pallas lockstep decode kernel v2: 1024 shared-table streams per batch.
+
+TPU-native architecture (SURVEY.md section 7 "sequential cores, parallel
+everything else"), second generation.  What changed vs ops/pallas_decode.py:
+
+* **1024 streams per grid step** — state lives in (8, 128) vregs (sublane x
+  lane), so every elementwise op serves 1024 streams instead of 128.
+* **Shared Huffman tables** — all streams in a batch declare bit-identical
+  tables (produced by encode.sharded); a per-element lookup is then a
+  `tpu.dynamic_gather` along lanes over row-replicated table vregs plus a
+  select over ceil(T/128) chunks (~3 ops per 128 entries of table), instead
+  of an O(T) one-hot sweep.  Measured on v5e: a single-vreg gather costs
+  about one elementwise op.
+* **Fused phases** — one row decodes a full command header (symbol + insert
+  + copy extra bits, when they fit in the row's 32-bit budget), two
+  literals, or a distance (symbol + extra + ring update + token), cutting
+  rows per command from ~5+insert to ~3+insert/2.
+* **Sliding bitstream window** — compressed words live in HBM transposed as
+  (W, 8, 128); a (D, 8, 128) VMEM window slides forward by async DMA, and
+  the per-row refill is a one-hot select over D rows (one 32-bit word per
+  stream per row, masked).  Streams that outrun the window stall (masked
+  out) until the slowest stream lets the window advance — graceful, not
+  fatal.
+
+Row bit budget: every row consumes <= 32 bits per stream; a single masked
+refill per row keeps the 96-bit (3-limb) buffer above 64 bits, which
+guarantees any row's worst case.  Phases that could exceed the budget
+(insert/copy/distance extra bits up to 24 each) spill into their own rows.
+
+Token stream v2 (u32, PAD = 0), resolved sequentially per stream by the
+native resolver (native/lz_resolve.cpp, v2 entry point):
+  tag = t >> 30
+  0: literals   count=(t>>24)&3 in 1..2; bytes at bits 0-7, 8-15
+  1: copy_len   t & 0xFFFFFF; its distance follows as the next tag-2 token
+  2: distance   t & 0x3FFFFFFF (completes a tag-1 copy)
+  3: fused copy copy_len=(t>>22)&0xFF (2..255), distance = t & 0x3FFFFF
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import (
+    COPY_LENGTH_N_BITS,
+    COPY_LENGTH_OFFSET,
+    DISTANCE_SHORT_CODE_DELTA,
+    DISTANCE_SHORT_CODE_INDEX,
+    INSERT_LENGTH_N_BITS,
+    INSERT_LENGTH_OFFSET,
+)
+
+SUB = 8          # sublanes: stream rows
+LANES = 128      # lanes: stream columns
+NSTREAM = SUB * LANES
+
+# phases
+INIT, CMD, INS_EX, CP_EX, LIT, DIST, DIST_EX, DIST2, DONE, ERR = range(10)
+
+# token tags
+TAG_LIT = 0
+TAG_COPY = 1 << 30
+TAG_DIST = 2 << 30
+TAG_FUSED = 3 << 30
+
+LIT_K = 5    # 630-entry literal table -> 5 chunks of 128
+CMD_K = 9    # 1080-entry command table
+DIST_K = 8   # 920-entry distance table
+DX_K = 5     # 544-entry packed distance (extra<<26)|offset lut
+
+
+def _replicate(table: np.ndarray, k: int) -> np.ndarray:
+    """(<=k*128,) int32 -> (k*8, 128) with each 128-entry chunk replicated
+    across its 8 sublanes (lane-gather table layout)."""
+    flat = np.zeros(k * 128, dtype=np.int32)
+    flat[: table.shape[0]] = table
+    chunks = flat.reshape(k, 1, 128)
+    return np.broadcast_to(chunks, (k, SUB, 128)).reshape(k * SUB, 128).copy()
+
+
+def _build_consts() -> np.ndarray:
+    """(8,128) packed lut: [0..23] ins (nbits<<20|offset),
+    [64..87] copy (nbits<<20|offset), [96..111] short ((ring_idx<<4)|(delta+3))."""
+    c = np.zeros(128, dtype=np.int32)
+    c[0:24] = (np.asarray(INSERT_LENGTH_N_BITS, np.int32) << 20) | np.asarray(
+        INSERT_LENGTH_OFFSET, np.int32
+    )
+    c[64:88] = (np.asarray(COPY_LENGTH_N_BITS, np.int32) << 20) | np.asarray(
+        COPY_LENGTH_OFFSET, np.int32
+    )
+    c[96:112] = (np.asarray(DISTANCE_SHORT_CODE_INDEX, np.int32) << 4) | (
+        np.asarray(DISTANCE_SHORT_CODE_DELTA, np.int32) + 3
+    )
+    return np.broadcast_to(c[None, :], (SUB, 128)).copy()
+
+
+def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
+           npostfix: int, ndirect: int, maxbw: int, interpret: bool,
+           debug_stub: int = 0):
+    """debug_stub (perf bisection; wrong results when nonzero): bit 0 =
+    skip the window refill one-hot, bit 1 = skip table lookups, bit 3 =
+    run a fixed n_blocks (no early exit) for stable timing."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = (SUB, LANES)
+    HALF = D // 2
+
+    skip_fetch = bool(debug_stub & 1)
+    skip_lookup = bool(debug_stub & 2)
+    skip_cmd = bool(debug_stub & 4)
+    skip_lit = bool(debug_stub & 16)
+    skip_dist = bool(debug_stub & 32)
+    skip_ex = bool(debug_stub & 64)
+
+    def lookup(tab_ref, k, idx):
+        """Shared-table per-element lookup: idx (8,128) in [0, k*128)."""
+        if skip_lookup:
+            return idx * 3 + 1
+        lo = idx & 127
+        hi = idx >> 7
+        acc = jnp.zeros(S, jnp.int32)
+        for c in range(k):
+            g = jnp.take_along_axis(tab_ref[c * SUB:(c + 1) * SUB, :], lo, axis=1)
+            acc = jnp.where(hi == c, g, acc)
+        return acc
+
+    def gather1(tab_ref, idx):
+        """Single-chunk (<=128 entries) lookup."""
+        if skip_lookup:
+            return idx * 5 + 2
+        return jnp.take_along_axis(tab_ref[0:SUB, :], idx & 127, axis=1)
+
+    def kernel(wt_ref, lit_ref, cmd_ref, dist_ref, dx_ref, consts_ref,
+               scal_ref, out_ref, win, staging, sem_in, sem_out):
+        zeros_u = jnp.zeros(S, jnp.uint32)
+        zeros_i = jnp.zeros(S, jnp.int32)
+
+        start_bit = scal_ref[0:SUB, :]
+        mlen = scal_ref[SUB:2 * SUB, :]
+
+        # ---- initial window fill ----
+        dma0 = pltpu.make_async_copy(wt_ref.at[pl.ds(0, D)], win, sem_in)
+        dma0.start()
+        dma0.wait()
+
+        def peek(b0, b1, b2, q, width_mask):
+            """width<=24 bits at per-stream bit offset q (q <= 56)."""
+            lsel = q >> 5
+            w0 = jnp.where(lsel == 0, b0, b1)
+            w1 = jnp.where(lsel == 0, b1, b2)
+            m = (q & 31).astype(jnp.uint32)
+            r = (w0 >> m) | jnp.where(
+                m == 0, jnp.uint32(0), w1 << ((32 - m) & 31)
+            )
+            return r & width_mask
+
+        def read_symbol(tab_ref, k, v15):
+            root_idx = (v15 & 0xFF).astype(jnp.int32)
+            e0 = lookup(tab_ref, 2, root_idx)
+            bits0 = e0 >> 16
+            need_sub = bits0 > 8
+            sub_mask = (
+                (jnp.uint32(1) << jnp.clip(bits0, 0, 15).astype(jnp.uint32)) - 1
+            )
+            idx2 = root_idx + (e0 & 0xFFFF) + ((v15 & sub_mask) >> 8).astype(jnp.int32)
+            e1 = lookup(tab_ref, k, jnp.where(need_sub, idx2, 0))
+            sym = jnp.where(need_sub, e1 & 0xFFFF, e0 & 0xFFFF)
+            nb = jnp.where(need_sub, (e1 >> 16) + 8, bits0)
+            return sym, nb
+
+        init = dict(
+            phase=jnp.where(mlen > 0, INIT, DONE),
+            widx=zeros_i,
+            b0=zeros_u, b1=zeros_u, b2=zeros_u,
+            avail=zeros_i,
+            mbl=mlen,
+            lit_rem=zeros_i,
+            copy_len=zeros_i,
+            ins_code=zeros_i,
+            cp_code=zeros_i,
+            implicit=zeros_i,
+            dcode=zeros_i,
+            dist_save=zeros_i,
+            r0=jnp.full(S, 4, jnp.int32),
+            r1=jnp.full(S, 11, jnp.int32),
+            r2=jnp.full(S, 15, jnp.int32),
+            r3=jnp.full(S, 16, jnp.int32),
+        )
+        order = sorted(init.keys())
+
+        def row_step(s):
+            s = dict(s)
+            live = s["phase"] < DONE
+
+            # ---- masked refill: one 32-bit word when avail <= 64 ----
+            need = live & (s["avail"] <= 64) & (s["widx"] < s["_filled"])
+            p_rel = s["widx"] & (D - 1)
+            if skip_fetch:
+                acc = p_rel.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            else:
+                acc = zeros_u
+                for d in range(D):
+                    acc = jnp.where(p_rel == d, win[d], acc)
+            sh = (s["avail"] & 31).astype(jnp.uint32)
+            limb = s["avail"] >> 5
+            lo_part = jnp.where(need, acc << sh, jnp.uint32(0))
+            hi_part = jnp.where(
+                need & (sh > 0), acc >> ((32 - sh) & 31), jnp.uint32(0)
+            )
+            s["b0"] = s["b0"] | jnp.where(limb == 0, lo_part, jnp.uint32(0))
+            s["b1"] = s["b1"] | jnp.where(
+                limb == 0, hi_part, jnp.where(limb == 1, lo_part, jnp.uint32(0))
+            )
+            s["b2"] = s["b2"] | jnp.where(
+                limb == 1, hi_part, jnp.where(limb == 2, lo_part, jnp.uint32(0))
+            )
+            s["avail"] = s["avail"] + jnp.where(need, 32, 0)
+            s["widx"] = s["widx"] + jnp.where(need, 1, 0)
+
+            # ---- runnable mask (phase row consumes <= 32 bits) ----
+            phase0 = s["phase"]
+            run = live & (
+                (s["avail"] >= 65) | ((phase0 == INIT) & (s["avail"] >= 32))
+            )
+            b0, b1, b2 = s["b0"], s["b1"], s["b2"]
+            q = zeros_i
+            token = zeros_u  # PAD = 0
+
+            def pk(width):
+                mask = jnp.uint32((1 << width) - 1)
+                return peek(b0, b1, b2, q, mask)
+
+            # ---- INIT: discard sub-word start offset ----
+            m = run & (phase0 == INIT)
+            q = q + jnp.where(m, start_bit, 0)
+            s["phase"] = jnp.where(m, CMD, s["phase"])
+
+            # ---- CMD: command symbol + extras that fit ----
+            if not skip_cmd:
+              m = run & (phase0 == CMD)
+              v15 = pk(15)
+              sym, nb = read_symbol(cmd_ref, CMD_K, v15)
+              cell = sym >> 6
+              range_idx = jnp.where(cell < 2, cell, cell - 2)
+              ins_high = (0x29850 >> (2 * range_idx)) & 3
+              cp_high = (0x26244 >> (2 * range_idx)) & 3
+              ins_code = ins_high * 8 + ((sym >> 3) & 7)
+              cp_code = cp_high * 8 + (sym & 7)
+              s["ins_code"] = jnp.where(m, ins_code, s["ins_code"])
+              s["cp_code"] = jnp.where(m, cp_code, s["cp_code"])
+              s["implicit"] = jnp.where(m, (cell < 2).astype(jnp.int32), s["implicit"])
+              ins_pack = gather1(consts_ref, ins_code)
+              cp_pack = gather1(consts_ref, cp_code + 64)
+              nb_i = ins_pack >> 20
+              off_i = ins_pack & 0xFFFFF
+              nb_c = cp_pack >> 20
+              off_c = cp_pack & 0xFFFFF
+              q = q + jnp.where(m, nb, 0)
+              can_i = m & (q + nb_i <= 32)
+              iv = pk(24) & ((jnp.uint32(1) << (nb_i.astype(jnp.uint32) & 31)) - 1)
+              s["lit_rem"] = jnp.where(can_i, off_i + iv.astype(jnp.int32), s["lit_rem"])
+              q = q + jnp.where(can_i, nb_i, 0)
+              can_c = can_i & (q + nb_c <= 32)
+              cv = pk(24) & ((jnp.uint32(1) << (nb_c.astype(jnp.uint32) & 31)) - 1)
+              s["copy_len"] = jnp.where(can_c, off_c + cv.astype(jnp.int32), s["copy_len"])
+              q = q + jnp.where(can_c, nb_c, 0)
+              nxt = jnp.where(
+                ~can_i, INS_EX,
+                jnp.where(
+                    ~can_c, CP_EX,
+                    jnp.where(s["lit_rem"] > 0, LIT, DIST),
+                ),
+              )
+              s["phase"] = jnp.where(m, nxt, s["phase"])
+
+            # ---- INS_EX: spilled insert extra bits (+ copy if it fits) ----
+            if not skip_ex:
+              m = run & (phase0 == INS_EX)
+              ins_pack = gather1(consts_ref, s["ins_code"])
+              nb_i = ins_pack >> 20
+              off_i = ins_pack & 0xFFFFF
+              iv = pk(24) & ((jnp.uint32(1) << (nb_i.astype(jnp.uint32) & 31)) - 1)
+              s["lit_rem"] = jnp.where(m, off_i + iv.astype(jnp.int32), s["lit_rem"])
+              q = q + jnp.where(m, nb_i, 0)
+              cp_pack = gather1(consts_ref, s["cp_code"] + 64)
+              nb_c = cp_pack >> 20
+              off_c = cp_pack & 0xFFFFF
+              can_c = m & (q + nb_c <= 32)
+              cv = pk(24) & ((jnp.uint32(1) << (nb_c.astype(jnp.uint32) & 31)) - 1)
+              s["copy_len"] = jnp.where(can_c, off_c + cv.astype(jnp.int32), s["copy_len"])
+              q = q + jnp.where(can_c, nb_c, 0)
+              nxt = jnp.where(
+                ~can_c, CP_EX, jnp.where(s["lit_rem"] > 0, LIT, DIST)
+              )
+              s["phase"] = jnp.where(m, nxt, s["phase"])
+
+              # ---- CP_EX: spilled copy extra bits ----
+              m = run & (phase0 == CP_EX)
+              cp_pack = gather1(consts_ref, s["cp_code"] + 64)
+              nb_c = cp_pack >> 20
+              off_c = cp_pack & 0xFFFFF
+              cv = pk(24) & ((jnp.uint32(1) << (nb_c.astype(jnp.uint32) & 31)) - 1)
+              s["copy_len"] = jnp.where(m, off_c + cv.astype(jnp.int32), s["copy_len"])
+              q = q + jnp.where(m, nb_c, 0)
+              s["phase"] = jnp.where(
+                  m, jnp.where(s["lit_rem"] > 0, LIT, DIST), s["phase"]
+              )
+
+            # ---- LIT: up to two literals per row ----
+            if not skip_lit:
+              m = run & (phase0 == LIT)
+              v15 = pk(15)
+              sym0, nb0 = read_symbol(lit_ref, LIT_K, v15)
+              q = q + jnp.where(m, nb0, 0)
+              have2 = m & (s["lit_rem"] >= 2) & (s["mbl"] >= 2)
+              v15 = pk(15)
+              sym1, nb1 = read_symbol(lit_ref, LIT_K, v15)
+              q = q + jnp.where(have2, nb1, 0)
+              took = jnp.where(m, 1 + have2.astype(jnp.int32), 0)
+              tok_lit = (
+                sym0.astype(jnp.uint32)
+                | jnp.where(have2, sym1.astype(jnp.uint32) << 8, jnp.uint32(0))
+                | (took.astype(jnp.uint32) << 24)
+              )
+              token = jnp.where(m, tok_lit, token)
+              s["lit_rem"] = s["lit_rem"] - took
+              s["mbl"] = s["mbl"] - took
+              done_mb = m & (s["mbl"] <= 0)
+              s["phase"] = jnp.where(
+                  done_mb, DONE,
+                  jnp.where(m & (s["lit_rem"] <= 0), DIST, s["phase"]),
+              )
+
+            # ---- DIST: distance symbol + extra bits when they fit ----
+            if not skip_dist:
+              m = run & (phase0 == DIST)
+              is_imp = s["implicit"] == 1
+              m_read = m & ~is_imp
+              v15 = pk(15)
+              sym, nb = read_symbol(dist_ref, DIST_K, v15)
+              q = q + jnp.where(m_read, nb, 0)
+              dcode = jnp.where(m_read, sym, jnp.where(m, -1, s["dcode"]))
+              s["dcode"] = dcode
+              is_short = (dcode >= 0) & (dcode < 16)
+              if ndirect > 0:
+                is_direct = (dcode >= 16) & (dcode < 16 + ndirect)
+              else:
+                is_direct = jnp.zeros(S, jnp.bool_)
+              is_long = dcode >= 16 + ndirect
+              # short codes via packed lut
+              sp = gather1(consts_ref, jnp.clip(dcode, 0, 15) + 96)
+              k_idx = sp >> 4
+              delta = (sp & 15) - 3
+              ring_val = jnp.where(
+                k_idx == 0, s["r0"],
+                jnp.where(k_idx == 1, s["r1"], jnp.where(k_idx == 2, s["r2"], s["r3"])),
+              )
+              short_dist = ring_val + delta
+              # long codes via packed (extra<<26)|offset lut (indexed by the
+              # full distance code, same layout as the host's calculated LUT)
+              dxp = lookup(dx_ref, DX_K, jnp.clip(dcode, 0, DX_K * 128 - 1))
+              nbx = dxp >> 26
+              offx = dxp & 0x3FFFFFF
+              can_x = m & is_long & (q + nbx <= 32)
+              xv = pk(24) & ((jnp.uint32(1) << (nbx.astype(jnp.uint32) & 31)) - 1)
+              q = q + jnp.where(can_x, nbx, 0)
+              long_dist = offx + (xv.astype(jnp.int32) << npostfix)
+              distance = jnp.where(
+                is_imp, s["r0"],
+                jnp.where(
+                    is_short, short_dist,
+                    jnp.where(is_direct, dcode - 16 + 1, long_dist),
+                ),
+              )
+              spill = m & is_long & ~can_x
+              m_fin = m & ~spill
+              s["phase"] = jnp.where(spill, DIST_EX, s["phase"])
+
+              # ---- DIST_EX: spilled distance extra bits ----
+              m2 = run & (phase0 == DIST_EX)
+              dxp2 = lookup(dx_ref, DX_K, jnp.clip(s["dcode"], 0, DX_K * 128 - 1))
+              nbx2 = dxp2 >> 26
+              offx2 = dxp2 & 0x3FFFFFF
+              xv2 = pk(24) & ((jnp.uint32(1) << (nbx2.astype(jnp.uint32) & 31)) - 1)
+              q = q + jnp.where(m2, nbx2, 0)
+              dist2 = offx2 + (xv2.astype(jnp.int32) << npostfix)
+              distance = jnp.where(m2, dist2, distance)
+              m_fin = m_fin | m2
+
+              # ---- finalize a completed distance (from DIST or DIST_EX) ----
+              pos = mlen - s["mbl"]
+              max_dist = jnp.minimum(pos, maxbw)
+              bad = m_fin & (
+                (distance < 1) | (distance > max_dist) | (s["copy_len"] > s["mbl"])
+              )
+              ok = m_fin & ~bad
+              push = ok & ~is_imp & (s["dcode"] > 0)
+              s["r3"] = jnp.where(push, s["r2"], s["r3"])
+              s["r2"] = jnp.where(push, s["r1"], s["r2"])
+              s["r1"] = jnp.where(push, s["r0"], s["r1"])
+              s["r0"] = jnp.where(push, distance, s["r0"])
+              fusable = ok & (s["copy_len"] <= 255) & (distance <= 0x3FFFFF)
+              tok_fused = (
+                jnp.uint32(TAG_FUSED)
+                | (s["copy_len"].astype(jnp.uint32) << 22)
+                | distance.astype(jnp.uint32)
+              )
+              tok_copy = jnp.uint32(TAG_COPY) | s["copy_len"].astype(jnp.uint32)
+              token = jnp.where(
+                fusable, tok_fused, jnp.where(ok, tok_copy, token)
+              )
+              s["dist_save"] = jnp.where(ok & ~fusable, distance, s["dist_save"])
+              s["mbl"] = jnp.where(fusable, s["mbl"] - s["copy_len"], s["mbl"])
+              s["phase"] = jnp.where(
+                bad, ERR,
+                jnp.where(
+                    fusable,
+                    jnp.where(s["mbl"] <= 0, DONE, CMD),
+                    jnp.where(ok, DIST2, s["phase"]),
+                ),
+              )
+
+              # ---- DIST2: long-form distance token row ----
+              m = run & (phase0 == DIST2)
+              token = jnp.where(
+                m, jnp.uint32(TAG_DIST) | s["dist_save"].astype(jnp.uint32), token
+              )
+              s["mbl"] = jnp.where(m, s["mbl"] - s["copy_len"], s["mbl"])
+              s["phase"] = jnp.where(
+                  m, jnp.where(s["mbl"] <= 0, DONE, CMD), s["phase"]
+              )
+
+            # ---- consume q bits ----
+            lsel = q >> 5
+            c0 = jnp.where(lsel >= 1, b1, b0)
+            c1 = jnp.where(lsel >= 1, b2, b1)
+            c2 = jnp.where(lsel >= 1, jnp.uint32(0), b2)
+            mq = (q & 31).astype(jnp.uint32)
+            s["b0"] = (c0 >> mq) | jnp.where(
+                mq == 0, jnp.uint32(0), c1 << ((32 - mq) & 31)
+            )
+            s["b1"] = (c1 >> mq) | jnp.where(
+                mq == 0, jnp.uint32(0), c2 << ((32 - mq) & 31)
+            )
+            s["b2"] = c2 >> mq
+            s["avail"] = s["avail"] - q
+            return s, token
+
+        def dict_to_tuple(d):
+            return tuple(d[k] for k in order)
+
+        def tuple_to_dict(t):
+            return dict(zip(order, t))
+
+        def block_body(carry):
+            blk, filled, st_t = carry
+            st = tuple_to_dict(st_t)
+
+            # ---- window advance (refill HALF words when safe) ----
+            active = st["phase"] < DONE
+            minp = jnp.min(jnp.where(active, st["widx"], jnp.int32(1 << 30)))
+            do_refill = (minp >= filled - HALF) & (filled + HALF <= Wpad)
+
+            @pl.when(do_refill)
+            def _():
+                slot = jax.lax.rem(filled, D)
+                dma = pltpu.make_async_copy(
+                    wt_ref.at[pl.ds(filled, HALF)],
+                    win.at[pl.ds(slot, HALF)],
+                    sem_in,
+                )
+                dma.start()
+                dma.wait()
+
+            filled = jnp.where(do_refill, filled + HALF, filled)
+            st["_filled"] = filled  # broadcast scalar used by row_step
+
+            def row_body(r, st_t2):
+                st2 = tuple_to_dict(st_t2[0])
+                st2["_filled"] = filled
+                st2, token = row_step(st2)
+                del st2["_filled"]
+                staging[r] = token
+                return (dict_to_tuple(st2),)
+
+            (st_t3,) = jax.lax.fori_loop(
+                0, block_rows, row_body, (dict_to_tuple({k: v for k, v in st.items() if k != "_filled"}),)
+            )
+            dma_out = pltpu.make_async_copy(
+                staging, out_ref.at[pl.ds(blk * block_rows, block_rows)], sem_out
+            )
+            dma_out.start()
+            dma_out.wait()
+            return blk + 1, filled, st_t3
+
+        def block_cond(carry):
+            blk, filled, st_t = carry
+            if debug_stub >= 8:  # fixed block count for perf bisection
+                return blk < n_blocks
+            st = tuple_to_dict(st_t)
+            return (blk < n_blocks) & jnp.any(st["phase"] < DONE)
+
+        blk, filled, st_t = jax.lax.while_loop(
+            block_cond, block_body,
+            (jnp.int32(0), jnp.int32(D), dict_to_tuple(init)),
+        )
+        st = tuple_to_dict(st_t)
+        # status tail: row 0 phase, row 1 widx
+        staging[0] = st["phase"].astype(jnp.uint32)
+        staging[1] = st["widx"].astype(jnp.uint32)
+        dma_tail = pltpu.make_async_copy(
+            staging.at[pl.ds(0, 8)],
+            out_ref.at[pl.ds(n_blocks * block_rows, 8)],
+            sem_out,
+        )
+        dma_tail.start()
+        dma_tail.wait()
+
+    def runner(wt, lit_t, cmd_t, dist_t, dx_t, consts, scal):
+        out_rows = n_blocks * block_rows + 8
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((out_rows, SUB, LANES), jnp.uint32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),    # wt (Wpad,8,128) HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lit (5*8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # cmd (9*8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # dist (8*8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # dx (5*8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # consts (8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # scal (16,128)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((D, SUB, LANES), jnp.uint32),          # window
+                pltpu.VMEM((block_rows, SUB, LANES), jnp.uint32),  # staging
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(wt, lit_t, cmd_t, dist_t, dx_t, consts, scal)
+
+    return runner
+
+
+@functools.lru_cache(maxsize=8)
+def get_kernel(Wpad: int, D: int, block_rows: int, n_blocks: int,
+               npostfix: int, ndirect: int, maxbw: int, interpret: bool = False,
+               debug_stub: int = 0):
+    import jax
+
+    return jax.jit(
+        _build(Wpad, D, block_rows, n_blocks, npostfix, ndirect, maxbw,
+               interpret, debug_stub)
+    )
+
+
+# ---------------------------------------------------------------------------
+# host side: preflight (shared-table batch), run, resolve
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class SharedBatch:
+    wt: np.ndarray            # (Wpad, 8, 128) u32
+    lit_t: np.ndarray         # (5*8, 128) i32
+    cmd_t: np.ndarray
+    dist_t: np.ndarray
+    dx_t: np.ndarray
+    consts: np.ndarray        # (8, 128) i32
+    scal: np.ndarray          # (16, 128) i32: start_bit rows, mlen rows
+    mlens: np.ndarray         # (NSTREAM,) int64
+    n_streams: int
+    npostfix: int
+    ndirect: int
+    maxbw: int
+    Wpad: int
+
+
+def preflight_shared(streams: list[bytes], D: int = 64) -> SharedBatch | None:
+    """Preflight a batch of <=1024 same-table streams for the v2 kernel."""
+    from .device_decode import preflight
+
+    if not streams or len(streams) > NSTREAM:
+        return None
+    pres = []
+    for s in streams:
+        p = preflight(s)
+        if p is None:
+            return None
+        pres.append(p)
+    p0 = pres[0]
+    for p in pres[1:]:
+        if (
+            p.npostfix != p0.npostfix
+            or p.ndirect != p0.ndirect
+            or p.max_backward != p0.max_backward
+            or not np.array_equal(p.lit_table, p0.lit_table)
+            or not np.array_equal(p.cmd_table, p0.cmd_table)
+            or not np.array_equal(p.dist_table, p0.dist_table)
+        ):
+            return None
+
+    # rebase each stream's words to its command start word
+    rebased = []
+    start_bits = np.zeros(NSTREAM, dtype=np.int32)
+    mlens = np.zeros(NSTREAM, dtype=np.int64)
+    for i, p in enumerate(pres):
+        w0 = p.cmd_start_bit >> 5
+        rebased.append(p.words[w0:])
+        start_bits[i] = p.cmd_start_bit & 31
+        mlens[i] = p.mlen
+    max_words = max(r.shape[0] for r in rebased)
+    Wpad = _round_up(max_words, D) + D
+    wt = np.zeros((Wpad, SUB, LANES), dtype=np.uint32)
+    for i, r in enumerate(rebased):
+        wt[: r.shape[0], i // LANES, i % LANES] = r
+
+    dx = (np.asarray(p0.dist_extra, np.int32) << 26) | np.asarray(
+        p0.dist_offset, np.int32
+    )
+    scal = np.zeros((2 * SUB, LANES), dtype=np.int32)
+    scal[0:SUB, :] = start_bits.reshape(SUB, LANES)
+    scal[SUB:2 * SUB, :] = mlens.reshape(SUB, LANES).astype(np.int32)
+    return SharedBatch(
+        wt=wt,
+        lit_t=_replicate(p0.lit_table, LIT_K),
+        cmd_t=_replicate(p0.cmd_table, CMD_K),
+        dist_t=_replicate(p0.dist_table, DIST_K),
+        dx_t=_replicate(dx, DX_K),
+        consts=_build_consts(),
+        scal=scal,
+        mlens=mlens,
+        n_streams=len(streams),
+        npostfix=p0.npostfix,
+        ndirect=p0.ndirect,
+        maxbw=p0.max_backward,
+        Wpad=Wpad,
+    )
+
+
+DEFAULT_D = 64
+DEFAULT_BLOCK_ROWS = 32
+
+
+def plan_blocks(batch: SharedBatch, block_rows: int = DEFAULT_BLOCK_ROWS,
+                row_budget_factor: float = 1.15) -> int:
+    max_mlen = int(batch.mlens.max())
+    rows = int(row_budget_factor * max_mlen) + 1024
+    return -(-rows // block_rows)
+
+
+def run_batch(batch: SharedBatch, D: int = DEFAULT_D,
+              block_rows: int = DEFAULT_BLOCK_ROWS,
+              n_blocks: int | None = None, interpret: bool = False):
+    """Run the v2 kernel; returns (tokens (R,8,128) u32, phases (8,128))."""
+    import jax.numpy as jnp
+
+    if n_blocks is None:
+        n_blocks = plan_blocks(batch, block_rows)
+    kernel = get_kernel(
+        batch.Wpad, D, block_rows, n_blocks,
+        batch.npostfix, batch.ndirect, batch.maxbw, interpret,
+    )
+    out = kernel(
+        jnp.asarray(batch.wt), jnp.asarray(batch.lit_t),
+        jnp.asarray(batch.cmd_t), jnp.asarray(batch.dist_t),
+        jnp.asarray(batch.dx_t), jnp.asarray(batch.consts),
+        jnp.asarray(batch.scal),
+    )
+    out = np.asarray(out)
+    tokens = out[: n_blocks * block_rows]
+    phases = out[n_blocks * block_rows]
+    return tokens, phases
+
+
+def resolve_tokens_py(tokens: np.ndarray, sub: int, lane: int, out_len: int) -> bytes:
+    """Reference resolver for v2 tokens (python; mirrors native v2)."""
+    out = bytearray(out_len)
+    pos = 0
+    copy_len = -1
+    col = tokens[:, sub, lane]
+    for t in col:
+        t = int(t)
+        if t == 0:
+            continue
+        tag = t >> 30
+        if tag == 0:
+            cnt = (t >> 24) & 3
+            for k in range(cnt):
+                if pos >= out_len:
+                    return bytes(out[:pos])
+                out[pos] = (t >> (8 * k)) & 0xFF
+                pos += 1
+        elif tag == 1:
+            copy_len = t & 0xFFFFFF
+        else:
+            if tag == 3:
+                copy_len = (t >> 22) & 0xFF
+                distance = t & 0x3FFFFF
+            else:
+                distance = t & 0x3FFFFFFF
+            src = pos - distance
+            for k in range(copy_len):
+                out[pos] = out[src + k]
+                pos += 1
+            copy_len = -1
+        if pos >= out_len:
+            break
+    return bytes(out[:pos])
+
+
+def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
+                         interpret: bool = False,
+                         D: int = DEFAULT_D) -> list[bytes]:
+    """Full v2 pipeline: shared-table entropy kernel + native LZ resolution.
+
+    Batches of same-table streams (encode_sharded output) take the 1024-lane
+    kernel; anything else falls back to the v1 per-lane-table pipeline or
+    the host decoder.
+    """
+    from ..decode import decode as host_decode
+    from ..native import lz_resolve_batch_v2
+
+    batch = preflight_shared(streams, D=D)
+    if batch is None:
+        from .pallas_decode import decode_batch_pallas
+
+        return decode_batch_pallas(streams, n_threads=n_threads,
+                                   interpret=interpret)
+    tokens, phases = run_batch(batch, D=D, interpret=interpret)
+    flat_phases = phases.reshape(-1)
+    expected = np.zeros(NSTREAM, dtype=np.int64)
+    expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
+    out, lens = lz_resolve_batch_v2(tokens.reshape(tokens.shape[0], -1),
+                                    expected, n_threads)
+    results: list[bytes] = []
+    for i in range(batch.n_streams):
+        if flat_phases[i] != DONE or lens[i] != batch.mlens[i]:
+            results.append(host_decode(streams[i]))
+        else:
+            results.append(bytes(out[i, : lens[i]]))
+    return results
