@@ -19,11 +19,19 @@ from .decode import decode, decoded_size, BrotliError
 from .encode import encode, Encoder, encode_fragment
 from .encode.sharded import encode_sharded, encode_sharded_concat
 
+
+def encode_sharded_device(data, **kw):
+    """TPU device encoder: sort-based parallel encode of <=1024 chunks
+    (ops/device_encode.py). Lazy import keeps JAX off the critical path."""
+    from .ops.device_encode import encode_device_batch
+
+    return encode_device_batch(data, **kw)
+
 __version__ = "0.1.0"
 
 __all__ = [
     "decode", "decoded_size", "BrotliError",
     "encode", "Encoder", "encode_fragment",
-    "encode_sharded", "encode_sharded_concat",
+    "encode_sharded", "encode_sharded_concat", "encode_sharded_device",
     "__version__",
 ]
