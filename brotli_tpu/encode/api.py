@@ -162,6 +162,8 @@ def _encode_standard(data: bytes, params: EncoderParams) -> bytes:
             commands, _, last_insert_len = create_backward_references(
                 mb_len, pos, padded, _NO_MASK, hasher, dist_cache, 0,
                 params.quality, params.dist.npostfix, params.dist.ndirect,
+                use_dictionary=params.quality >= 4,
+                real_max_backward=(1 << params.lgwin) - 16,
             )
         commands = _merge_trailing_literals(commands, last_insert_len, mb_len)
 
@@ -187,8 +189,13 @@ def encode_fragment(
     first: bool = True,
     last: bool = True,
     context_prelude: tuple[int, int] = (0, 0),
+    out_offset: int = 0,
 ) -> bytes:
     """Encode one shard of a larger stream as a byte-aligned fragment.
+
+    `out_offset` is the decoder output position where this fragment begins
+    (sum of preceding shard lengths); it anchors static-dictionary distance
+    addressing at quality >= 4.
 
     Concatenating fragments (first=True for shard 0, last=True for the final
     shard) yields one valid Brotli stream: each non-last fragment ends with an
@@ -257,6 +264,12 @@ def encode_fragment(
                 commands, _, last_insert_len = create_backward_references(
                     block_len, pos, padded, _NO_MASK, hasher, dist_cache, 0,
                     params.quality, params.dist.npostfix, params.dist.ndirect,
+                    # dictionary addressing needs the true decoder output
+                    # position; only the first fragment knows it implicitly
+                    use_dictionary=params.quality >= 4
+                    and (first or out_offset > 0),
+                    real_max_backward=(1 << params.lgwin) - 16,
+                    out_offset=out_offset,
                 )
             commands = _merge_trailing_literals(commands, last_insert_len, block_len)
             if params.quality == 1:

@@ -27,14 +27,24 @@ def create_backward_references(
     quality: int,
     npostfix: int = 0,
     ndirect: int = 0,
+    use_dictionary: bool = False,
+    real_max_backward: int | None = None,
+    out_offset: int = 0,
 ) -> tuple[list[Command], int, int]:
-    """Returns (commands, num_literals, trailing_insert_len)."""
+    """Returns (commands, num_literals, trailing_insert_len).
+
+    With use_dictionary, positions without an LZ match probe the static
+    dictionary (encode/static_dict.py); real_max_backward must then be the
+    decoder's window clamp (1<<lgwin)-16 so emitted distances land in the
+    dictionary address space."""
     commands: list[Command] = []
     num_literals = 0
     insert_len = last_insert_len
     pos = position
     pos_end = position + num_bytes
     result = SearchResult()
+    if use_dictionary:
+        from .static_dict import find_dictionary_match
 
     while pos < pos_end:
         max_len = pos_end - pos
@@ -47,6 +57,27 @@ def create_backward_references(
         hasher.find_longest_match(
             data, mask, dist_cache, pos, min(max_len, 128), max_backward, result
         )
+        if use_dictionary and result.len < 4:
+            dm = find_dictionary_match(data, pos, max_len)
+            if dm is not None:
+                word_len, word_idx = dm
+                max_distance = min(out_offset + pos, real_max_backward)
+                distance = max_distance + 1 + word_idx
+                commands.append(
+                    make_command(
+                        insert_len, word_len, 0, distance + 15,
+                        ndirect, npostfix,
+                    )
+                )
+                num_literals += insert_len
+                # dictionary references do not update the distance ring
+                store_end = min(pos + word_len, pos_end - 4)
+                step = 4 if quality <= 2 else 1
+                for i in range(pos + 1, store_end, step):
+                    hasher.store(data, mask, i)
+                pos += word_len
+                insert_len = 0
+                continue
         if result.len >= 4 and result.score > 0 and result.distance > 0:
             distance = result.distance
             match_len = result.len

@@ -19,10 +19,10 @@ def shard_file(data: bytes, shard_size: int) -> list[bytes]:
 
 
 def _encode_one(args):
-    shard, quality, lgwin, mode, first, last, prelude = args
+    shard, quality, lgwin, mode, first, last, prelude, out_offset = args
     return encode_fragment(
         shard, quality=quality, lgwin=lgwin, mode=mode, first=first, last=last,
-        context_prelude=prelude,
+        context_prelude=prelude, out_offset=out_offset,
     )
 
 
@@ -46,7 +46,7 @@ def parallel_encode(
             (data[off - 1], data[off - 2]) if off >= 2 else (0, 0)
         )
         jobs.append(
-            (s, quality, lgwin, mode, i == 0, i == len(shards) - 1, prelude)
+            (s, quality, lgwin, mode, i == 0, i == len(shards) - 1, prelude, off)
         )
     if len(jobs) == 1 or (num_workers is not None and num_workers <= 1):
         frags = [_encode_one(j) for j in jobs]
