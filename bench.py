@@ -74,31 +74,11 @@ def main() -> None:
                   batch.dx_t, batch.consts, batch.scal)
     ]
 
-    @jax.jit
-    def run_rep(*a):
-        def body(i, acc):
-            out = kernel(*a)
-            return acc + jnp.sum(
-                jax.lax.bitcast_convert_type(out[:8], jnp.int32), dtype=jnp.int32
-            )
-        return jax.lax.fori_loop(0, REP, body, jnp.int32(0))
+    from brotli_tpu.utils import time_device_fn
 
-    trivial = jax.jit(lambda a: a.sum())
-    x = jnp.zeros((8, 128), jnp.int32)
-    int(trivial(x))
-    rtt = min(
-        (lambda t0: (int(trivial(x)), time.perf_counter() - t0)[1])(time.perf_counter())
-        for _ in range(5)
+    per_decode = time_device_fn(
+        lambda *a: kernel(*a)[:8].astype(jnp.int32), *args, rep=REP, samples=3
     )
-
-    int(run_rep(*args))  # compile + warm
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(run_rep(*args))
-        best = min(best, time.perf_counter() - t0)
-
-    per_decode = max(1e-9, (best - rtt) / REP)
     total = int(batch.mlens.sum())
     gbps = total / per_decode / 1e9
 

@@ -90,3 +90,83 @@ def broadcast_dictionary(mesh=None):
         mesh = get_mesh()
     data = np.frombuffer(get_dictionary(), dtype=np.uint8)
     return jax.device_put(jnp.asarray(data), NamedSharding(mesh, P()))
+
+
+def decode_batches_multichip(
+    streams: list[bytes],
+    mesh=None,
+    *,
+    interpret: bool = False,
+    n_threads: int = 8,
+    group_size: int | None = None,
+) -> list[bytes]:
+    """Decode many shared-table streams across all mesh devices.
+
+    The format's scale-out unit is the independent stream (SURVEY.md
+    section 2.3), so multi-chip decode is pure data parallelism: streams are
+    grouped into 1024-lane shared-table batches, batches round-robin over
+    the mesh devices, and each device runs its own v2 lockstep kernel
+    concurrently (async dispatch; no cross-chip collectives are needed —
+    ordered reassembly is by batch index).  Host fallback covers
+    device-ineligible or error lanes, exactly like the single-chip path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode import decode as host_decode
+    from ..native import lz_resolve_batch_v2
+    from ..ops import pallas_decode2 as P2
+
+    if mesh is None:
+        mesh = get_mesh()
+    devices = list(mesh.devices.reshape(-1))
+
+    NS = P2.NSTREAM
+    gs = min(group_size or NS, NS)
+    groups = [streams[i : i + gs] for i in range(0, len(streams), gs)]
+    results: list[bytes | None] = [None] * len(streams)
+
+    # preflight all groups first (host-side), then dispatch device work
+    pending = []  # (group_idx, batch, n_blocks, device, args)
+    for gi, group in enumerate(groups):
+        batch = P2.preflight_shared(group)
+        if batch is None:
+            base = gi * gs
+            sub = P2.decode_batch_pallas2(group, n_threads=n_threads,
+                                          interpret=interpret)
+            for k, out in enumerate(sub):
+                results[base + k] = out
+            continue
+        dev = devices[len(pending) % len(devices)]
+        n_blocks = P2.plan_blocks(batch)
+        kernel = P2.get_kernel(
+            batch.Wpad, P2.DEFAULT_D, P2.DEFAULT_BLOCK_ROWS, n_blocks,
+            batch.npostfix, batch.ndirect, batch.maxbw, interpret,
+        )
+        args = [
+            jax.device_put(jnp.asarray(x), dev)
+            for x in (batch.wt, batch.lit_t, batch.cmd_t, batch.dist_t,
+                      batch.dx_t, batch.consts, batch.scal)
+        ]
+        out = kernel(*args)  # async dispatch per device
+        pending.append((gi, batch, n_blocks, out))
+
+    import numpy as np
+
+    for gi, batch, n_blocks, out in pending:
+        out_np = np.asarray(out)
+        rows = n_blocks * P2.DEFAULT_BLOCK_ROWS
+        tokens = out_np[:rows]
+        phases = out_np[rows].reshape(-1)
+        expected = np.zeros(NS, dtype=np.int64)
+        expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
+        resolved, lens = lz_resolve_batch_v2(
+            tokens.reshape(rows, -1), expected, n_threads
+        )
+        base = gi * gs
+        for k in range(batch.n_streams):
+            if phases[k] != P2.DONE or lens[k] != batch.mlens[k]:
+                results[base + k] = host_decode(groups[gi][k])
+            else:
+                results[base + k] = bytes(resolved[k, : lens[k]])
+    return results  # type: ignore[return-value]

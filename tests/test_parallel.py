@@ -60,3 +60,28 @@ def test_dictionary_broadcast_replicated():
     d = broadcast_dictionary(mesh)
     assert d.shape == (122784,)
     assert bytes(d[:4].tolist()) == b"time"
+
+
+def test_multichip_v2_decode_groups():
+    from brotli_tpu.encode.sharded import encode_sharded
+    from brotli_tpu.parallel.mesh import decode_batches_multichip, get_mesh
+
+    data = ALICE[:16384]
+    streams = encode_sharded(data, chunk_size=1024)
+    mesh = get_mesh(4)
+    # group_size=4 -> 4 batches round-robined over the mesh devices
+    got = decode_batches_multichip(streams, mesh, interpret=True, group_size=4)
+    assert b"".join(got) == data
+
+
+def test_multichip_v2_mixed_fallback():
+    import brotli_tpu
+    from brotli_tpu.parallel.mesh import decode_batches_multichip, get_mesh
+
+    # different tables per stream -> groups fail preflight -> fallback paths
+    a = brotli_tpu.encode(ALICE[:600], quality=1)
+    b = brotli_tpu.encode(bytes(900), quality=1)
+    got = decode_batches_multichip([a, b], get_mesh(2), interpret=True,
+                                   group_size=2)
+    assert got[0] == ALICE[:600]
+    assert got[1] == bytes(900)
