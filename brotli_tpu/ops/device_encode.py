@@ -52,8 +52,8 @@ from ..constants import (
 
 B_LANES = 1024        # streams per batch (8 sublanes x 128 lanes downstream)
 CHUNK_N = 32768       # bytes per chunk
-MATCH_CAP = 16        # carried-window match cap before extension
-MAX_LEN = 2118        # copy-length cap (code 23 base; keeps extra bits small)
+MATCH_CAP = 8         # carried-window match cap before extension
+MAX_LEN = 512         # copy-length cap (longer runs split; trims doubling passes)
 CELL = 64             # greedy-parse cell size
 HASH_MUL = 0x1E35A7BD
 
@@ -482,11 +482,13 @@ def _build_pack(n_blocks: int, interpret: bool):
             state[0] = jax.lax.bitcast_convert_type(init0_ref[:], jnp.uint32)
             state[1] = jnp.zeros(S, jnp.uint32)
             state[2] = jnp.zeros(S, jnp.uint32)
-            state[3] = initav_ref[:].astype(jnp.uint32)
-            state[4] = jnp.zeros(S, jnp.uint32)
+            state[3] = jnp.zeros(S, jnp.uint32)
+            state[4] = initav_ref[:].astype(jnp.uint32)
+            state[5] = jnp.zeros(S, jnp.uint32)
+            state[6] = jnp.zeros(S, jnp.uint32)
 
         def row_body(r, carry):
-            b0, b1, b2, avail, widx = carry
+            b0, b1, b2, b3, avail, widx, ovf = carry
             rec0 = rec0_ref[r]
             rec1 = rec1_ref[r]
             kind = (rec0 >> 28) & 0xF
@@ -520,7 +522,7 @@ def _build_pack(n_blocks: int, interpret: bool):
             ex2_nb = jnp.where(is_cmd, cp_nb, 0)
             ex2_v = jnp.where(is_cmd, (rec1 >> 16) & 0xFFFF, 0).astype(jnp.uint32)
 
-            def append(b0, b1, b2, avail, v, nb):
+            def append(b0, b1, b2, b3, avail, v, nb):
                 nbu = nb.astype(jnp.uint32) & 63
                 v = v & ((jnp.uint32(1) << nbu) - 1)
                 sh = avail & 31
@@ -534,38 +536,47 @@ def _build_pack(n_blocks: int, interpret: bool):
                 b2 = b2 | jnp.where(
                     limb == 1, hi, jnp.where(limb == 2, lo, jnp.uint32(0))
                 )
-                return b0, b1, b2, avail + nbu
-
-            b0, b1, b2, avail = append(b0, b1, b2, avail, sym_bits, sym_nb)
-            b0, b1, b2, avail = append(b0, b1, b2, avail, ex1_v, ex1_nb)
-            b0, b1, b2, avail = append(b0, b1, b2, avail, ex2_v, ex2_nb)
-
-            # emit up to two complete words
-            for slot in range(2):
-                emit = avail >= 32
-                key = jnp.where(
-                    emit, widx.astype(jnp.int32), jnp.int32(KEY_PAD)
+                b3 = b3 | jnp.where(
+                    limb == 2, hi, jnp.where(limb == 3, lo, jnp.uint32(0))
                 )
-                keys_ref[2 * r + slot] = key
-                words_ref[2 * r + slot] = b0
-                b0 = jnp.where(emit, b1, b0)
-                b1 = jnp.where(emit, b2, b1)
-                b2 = jnp.where(emit, jnp.uint32(0), b2)
-                avail = avail - jnp.where(emit, 32, 0)
-                widx = widx + jnp.where(emit, jnp.uint32(1), jnp.uint32(0))
-            return (b0, b1, b2, avail, widx)
+                return b0, b1, b2, b3, avail + nbu
+
+            b0, b1, b2, b3, avail = append(b0, b1, b2, b3, avail, sym_bits, sym_nb)
+            b0, b1, b2, b3, avail = append(b0, b1, b2, b3, avail, ex1_v, ex1_nb)
+            b0, b1, b2, b3, avail = append(b0, b1, b2, b3, avail, ex2_v, ex2_nb)
+
+            # one emission slot per row: in stream-ordered records a CMD row
+            # (the only >32-bit append, <=48 bits) is always >= 4 rows from
+            # the next one with draining pad rows between, so the buffer
+            # level stays bounded (~51 bits); ovf flags any violation.
+            emit = avail >= 32
+            keys_ref[r] = jnp.where(
+                emit, widx.astype(jnp.int32), jnp.int32(KEY_PAD)
+            )
+            words_ref[r] = b0
+            b0 = jnp.where(emit, b1, b0)
+            b1 = jnp.where(emit, b2, b1)
+            b2 = jnp.where(emit, b3, b2)
+            b3 = jnp.where(emit, jnp.uint32(0), b3)
+            avail = avail - jnp.where(emit, 32, 0)
+            widx = widx + jnp.where(emit, jnp.uint32(1), jnp.uint32(0))
+            ovf = ovf | (avail > 80).astype(jnp.uint32)
+            return (b0, b1, b2, b3, avail, widx, ovf)
 
         carry = (
-            state[0], state[1], state[2],
-            state[3], state[4],
+            state[0], state[1], state[2], state[3],
+            state[4], state[5], state[6],
         )
         carry = jax.lax.fori_loop(0, BR, row_body, carry)
-        state[0], state[1], state[2] = carry[0], carry[1], carry[2]
-        state[3], state[4] = carry[3], carry[4]
-        status_ref[0] = carry[4]                      # widx
-        status_ref[1] = carry[3]                      # avail
+        for k in range(7):
+            state[k] = carry[k]
+        status_ref[0] = carry[5]                      # widx
+        status_ref[1] = carry[4]                      # avail
         status_ref[2] = carry[0]                      # b0 (final partial bits)
-        for k in range(3, 8):
+        status_ref[3] = carry[1]                      # b1
+        status_ref[4] = carry[2]                      # b2
+        status_ref[5] = carry[6]                      # overflow flag
+        for k in range(6, 8):
             status_ref[k] = jnp.zeros(S, jnp.uint32)
 
     def runner(rec0, rec1, tab, consts, init0, initav):
@@ -574,8 +585,8 @@ def _build_pack(n_blocks: int, interpret: bool):
             kernel,
             grid=grid,
             out_shape=(
-                jax.ShapeDtypeStruct((n_blocks * 2 * BR, 8, 128), jnp.int32),
-                jax.ShapeDtypeStruct((n_blocks * 2 * BR, 8, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((n_blocks * BR, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((n_blocks * BR, 8, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((8, 8, 128), jnp.uint32),
             ),
             in_specs=[
@@ -593,14 +604,14 @@ def _build_pack(n_blocks: int, interpret: bool):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((2 * BR, 8, 128), lambda i: (i, 0, 0),
+                pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * BR, 8, 128), lambda i: (i, 0, 0),
+                pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 8, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((5, 8, 128), jnp.uint32)],
+            scratch_shapes=[pltpu.VMEM((7, 8, 128), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(rec0, rec1, tab, consts, init0, initav)
@@ -804,32 +815,43 @@ def encode_device_batch(
         jnp.asarray(init0_np), jnp.asarray(initav_np),
     )
 
-    # ---- word compaction per lane ----
-    R2 = keys.shape[0]
-    keys_l = jnp.transpose(keys, (1, 2, 0)).reshape(B_LANES, R2)
-    words_l = jnp.transpose(words, (1, 2, 0)).reshape(B_LANES, R2)
+    # ---- word compaction per lane (axis-0 sort: no device transposes) ----
     skeys, swords = lax.sort(
-        (keys_l, jax.lax.bitcast_convert_type(words_l, jnp.int32)),
-        dimension=1, num_keys=1,
+        (keys, jax.lax.bitcast_convert_type(words, jnp.int32)),
+        dimension=0, num_keys=1,
     )
     status_np = np.asarray(status)
     widx_np = status_np[0].reshape(-1).astype(np.int64)
     avail_np = status_np[1].astype(np.int32).reshape(-1)
-    b0_np = status_np[2].reshape(-1)
+    tail_words = status_np[2:5].reshape(3, -1)  # b0, b1, b2 final partials
+    ovf_np = status_np[5].reshape(-1)
 
     maxw = int(widx_np[:n_chunks].max()) if n_chunks else 0
-    words_np = np.asarray(swords[:, :maxw]).astype(np.uint32)
+    # fetch (maxw, 8, 128) then lay out per stream on the host
+    words_np = (
+        np.asarray(swords[:maxw]).astype(np.uint32)
+        .reshape(maxw, B_LANES).T.copy()
+        if maxw
+        else np.zeros((B_LANES, 0), np.uint32)
+    )
 
     # ---- assemble streams ----
     out: list[bytes] = []
     for s in range(n_chunks):
+        if ovf_np[s]:
+            # bit-buffer overflow (pathological record pattern): host encode
+            from ..encode import encode as host_encode
+
+            chunk = data[s * chunk_size : (s + 1) * chunk_size]
+            out.append(host_encode(chunk, quality=2, lgwin=lgwin))
+            continue
         nw = int(widx_np[s])
         dev_words = words_np[s, :nw]
         body = head_words[s].tobytes() + dev_words.tobytes()
         av = int(avail_np[s])
         total_bits = head_bits_np[s] - initav_np[s // 128, s % 128] + nw * 32 + av
-        if av > 0:
-            body += int(b0_np[s]).to_bytes(4, "little")
+        for limb in range((av + 31) // 32):
+            body += int(tail_words[limb, s]).to_bytes(4, "little")
         nbytes = (int(total_bits) + 7) // 8
         out.append(body[:nbytes])
     return out

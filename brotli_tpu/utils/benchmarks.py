@@ -80,7 +80,10 @@ def time_device_fn(fn, *args, rep: int = 4, samples: int = 3,
     """Best-of-N device time of `fn(*args)` (one jitted call), tunnel-aware.
 
     `fn` must return a pytree whose first leaf reduces to a scalar-able
-    array; REP invocations run inside a single jit.
+    array; REP invocations run inside a single jit.  The first integer leaf
+    of `args` is perturbed by the loop index so XLA cannot hoist a pure
+    `fn` out of the repeat loop (loop-invariant code motion would otherwise
+    time a single run).
     """
     import jax
     import jax.numpy as jnp
@@ -92,7 +95,12 @@ def time_device_fn(fn, *args, rep: int = 4, samples: int = 3,
     @jax.jit
     def run_rep(*a):
         def body(i, acc):
-            out = jax.tree.leaves(fn(*a))[0]
+            leaves, treedef = jax.tree.flatten(a)
+            for k, leaf in enumerate(leaves):
+                if jnp.issubdtype(leaf.dtype, jnp.integer):
+                    leaves[k] = leaf + i.astype(leaf.dtype)
+                    break
+            out = jax.tree.leaves(fn(*jax.tree.unflatten(treedef, leaves)))[0]
             return acc + out.reshape(-1)[0].astype(jnp.int32) + i
         return lax.fori_loop(0, rep, body, jnp.int32(0))
 
