@@ -363,7 +363,11 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
               short_dist = ring_val + delta
               # long codes via packed (extra<<26)|offset lut (indexed by the
               # full distance code, same layout as the host's calculated LUT)
-              dxp = lookup(dx_ref, DX_K, jnp.clip(dcode, 0, DX_K * 128 - 1))
+              # ONE lookup shared with the DIST_EX path (spilled extras) —
+              # DIST and DIST_EX are mutually exclusive phases per stream.
+              m2 = run & (phase0 == DIST_EX)
+              dx_idx = jnp.where(m2, s["dcode"], dcode)
+              dxp = lookup(dx_ref, DX_K, jnp.clip(dx_idx, 0, DX_K * 128 - 1))
               nbx = dxp >> 26
               offx = dxp & 0x3FFFFFF
               can_x = m & is_long & (q + nbx <= 32)
@@ -381,14 +385,9 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
               m_fin = m & ~spill
               s["phase"] = jnp.where(spill, DIST_EX, s["phase"])
 
-              # ---- DIST_EX: spilled distance extra bits ----
-              m2 = run & (phase0 == DIST_EX)
-              dxp2 = lookup(dx_ref, DX_K, jnp.clip(s["dcode"], 0, DX_K * 128 - 1))
-              nbx2 = dxp2 >> 26
-              offx2 = dxp2 & 0x3FFFFFF
-              xv2 = pk(24) & ((jnp.uint32(1) << (nbx2.astype(jnp.uint32) & 31)) - 1)
-              q = q + jnp.where(m2, nbx2, 0)
-              dist2 = offx2 + (xv2.astype(jnp.int32) << npostfix)
+              # ---- DIST_EX: spilled distance extra bits (shares dxp/xv) ----
+              q = q + jnp.where(m2, nbx, 0)
+              dist2 = offx + (xv.astype(jnp.int32) << npostfix)
               distance = jnp.where(m2, dist2, distance)
               m_fin = m_fin | m2
 
@@ -489,7 +488,8 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
                 return (dict_to_tuple(st2),)
 
             (st_t3,) = jax.lax.fori_loop(
-                0, block_rows, row_body, (dict_to_tuple({k: v for k, v in st.items() if k != "_filled"}),)
+                0, block_rows, row_body,
+                (dict_to_tuple({k: v for k, v in st.items() if k != "_filled"}),),
             )
             dma_out = pltpu.make_async_copy(
                 staging, out_ref.at[pl.ds(blk * block_rows, block_rows)], sem_out
