@@ -76,8 +76,11 @@ def main() -> None:
 
     from brotli_tpu.utils import time_device_fn
 
+    # the kernel is side-effecting (pallas DMA) so it cannot be hoisted out
+    # of the repeat loop; perturbation would corrupt the compressed input
     per_decode = time_device_fn(
-        lambda *a: kernel(*a)[:8].astype(jnp.int32), *args, rep=REP, samples=3
+        lambda *a: kernel(*a)[:8].astype(jnp.int32), *args, rep=REP, samples=3,
+        perturb=False,
     )
     total = int(batch.mlens.sum())
     gbps = total / per_decode / 1e9

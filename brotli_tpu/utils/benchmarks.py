@@ -76,7 +76,7 @@ def measure_rtt(samples: int = 5) -> float:
 
 
 def time_device_fn(fn, *args, rep: int = 4, samples: int = 3,
-                   rtt: float | None = None) -> float:
+                   rtt: float | None = None, perturb: bool = True) -> float:
     """Best-of-N device time of `fn(*args)` (one jitted call), tunnel-aware.
 
     `fn` must return a pytree whose first leaf reduces to a scalar-able
@@ -95,12 +95,18 @@ def time_device_fn(fn, *args, rep: int = 4, samples: int = 3,
     @jax.jit
     def run_rep(*a):
         def body(i, acc):
-            leaves, treedef = jax.tree.flatten(a)
-            for k, leaf in enumerate(leaves):
-                if jnp.issubdtype(leaf.dtype, jnp.integer):
-                    leaves[k] = leaf + i.astype(leaf.dtype)
-                    break
-            out = jax.tree.leaves(fn(*jax.tree.unflatten(treedef, leaves)))[0]
+            if perturb:
+                leaves, treedef = jax.tree.flatten(a)
+                for k, leaf in enumerate(leaves):
+                    if jnp.issubdtype(leaf.dtype, jnp.integer):
+                        leaves[k] = leaf + i.astype(leaf.dtype)
+                        break
+                a2 = jax.tree.unflatten(treedef, leaves)
+            else:
+                # side-effecting fns (pallas kernels) cannot be hoisted;
+                # perturbation would corrupt semantically-meaningful inputs
+                a2 = a
+            out = jax.tree.leaves(fn(*a2))[0]
             return acc + out.reshape(-1)[0].astype(jnp.int32) + i
         return lax.fori_loop(0, rep, body, jnp.int32(0))
 
