@@ -125,3 +125,27 @@ def test_static_dict_lookup_is_exact():
     assert m is not None
     length, idx = m
     assert get_word(length, idx) == b"development kit"[:length]
+
+
+# --- large-window decode (lgwin > 24; decoder-side extension, D4) ---
+
+def test_large_window_decode():
+    from brotli_tpu.constants import distance_alphabet_size
+    from brotli_tpu.encode.bitwriter import BitWriter, encode_window_bits
+    from brotli_tpu.encode.command import make_insert_command
+    from brotli_tpu.encode.metablock import store_metablock_trivial
+
+    data = b"large window test payload " * 10
+    w = BitWriter()
+    nb, val = encode_window_bits(26, True)
+    w.write(nb, val)
+    cmds = [make_insert_command(len(data))]
+    store_metablock_trivial(
+        w, data, 0, len(data), (1 << 62) - 1, True, cmds,
+        distance_alphabet_size(0, 0, 62),
+    )
+    w.align_to_byte()
+    s = w.finish()
+    assert brotli_tpu.decode(s, large_window=True) == data
+    with pytest.raises(brotli_tpu.BrotliError):
+        brotli_tpu.decode(s)  # without the flag the stream must be rejected
