@@ -7,8 +7,10 @@ Baseline: the reference's single-core JS decode throughput, ~0.15 GB/s
 (BASELINE.md: noto-tc 7 MB in 47 ms on M2 Max).
 
 Methodology:
-  * Timed: the v2 Pallas kernel (1024 streams x 32 KB, real mixed
-    text+binary fixture data) run REP times inside one jit; the axon
+  * Timed: the v2 Pallas kernel (GROUPS x 1024 streams x 32 KB, real
+    mixed text+binary fixture data; the 1024-stream batch is replicated
+    across groups to keep host-side prep fast — each group still decodes
+    its full compressed input) run REP times inside one jit; the axon
     tunnel's ~33 ms per-invocation round-trip is measured on a trivial op
     and subtracted once.  Output tokens stay in HBM; a tiny checksum
     forces completion.
@@ -27,6 +29,7 @@ import numpy as np
 BASELINE_GBPS = 0.15  # reference decode, M2 Max single core
 CHUNK = 32768
 REP = 4
+GROUPS = 8   # independent 1024-stream groups interleaved per kernel launch
 
 FIXTURES = (
     "/root/reference/test/fixtures/vectors/alice29.txt",
@@ -60,13 +63,15 @@ def main() -> None:
 
     # ---- timed: big batch, kernel only, RTT-calibrated ----
     data = (base * 32)[: 1024 * CHUNK]
-    streams = encode_sharded(data, chunk_size=CHUNK)
-    batch = P2.preflight_shared(streams)
+    streams = encode_sharded(data, chunk_size=CHUNK) * GROUPS
+    batch = P2.preflight_shared(streams, groups=GROUPS)
     assert batch is not None
     n_blocks = P2.plan_blocks(batch)
     kernel = P2.get_kernel(
         batch.Wpad, P2.DEFAULT_D, P2.DEFAULT_BLOCK_ROWS, n_blocks,
         batch.npostfix, batch.ndirect, batch.maxbw, False,
+        lit_k=batch.lit_k, cmd_k=batch.cmd_k, dist_k=batch.dist_k,
+        dx_k=batch.dx_k, groups=batch.groups,
     )
     args = [
         jnp.asarray(x)

@@ -98,10 +98,16 @@ def _build_consts() -> np.ndarray:
 
 def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
            npostfix: int, ndirect: int, maxbw: int, interpret: bool,
-           debug_stub: int = 0):
+           debug_stub: int = 0,
+           lit_k: int = LIT_K, cmd_k: int = CMD_K, dist_k: int = DIST_K,
+           dx_k: int = DX_K, groups: int = 1):
     """debug_stub (perf bisection; wrong results when nonzero): bit 0 =
     skip the window refill one-hot, bit 1 = skip table lookups, bit 3 =
-    run a fixed n_blocks (no early exit) for stable timing."""
+    run a fixed n_blocks (no early exit) for stable timing.
+
+    groups > 1 interleaves that many independent 1024-stream groups in one
+    kernel: the per-stream dependency chain is latency-bound, so a second
+    group's chain fills the pipeline bubbles."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -135,13 +141,15 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             return idx * 5 + 2
         return jnp.take_along_axis(tab_ref[0:SUB, :], idx & 127, axis=1)
 
+    G = groups
+
     def kernel(wt_ref, lit_ref, cmd_ref, dist_ref, dx_ref, consts_ref,
                scal_ref, out_ref, win, staging, sem_in, sem_out):
         zeros_u = jnp.zeros(S, jnp.uint32)
         zeros_i = jnp.zeros(S, jnp.int32)
 
-        start_bit = scal_ref[0:SUB, :]
-        mlen = scal_ref[SUB:2 * SUB, :]
+        start_bits = [scal_ref[2 * g * SUB:(2 * g + 1) * SUB, :] for g in range(G)]
+        mlens_g = [scal_ref[(2 * g + 1) * SUB:(2 * g + 2) * SUB, :] for g in range(G)]
 
         # ---- initial window fill ----
         dma0 = pltpu.make_async_copy(wt_ref.at[pl.ds(0, D)], win, sem_in)
@@ -173,7 +181,8 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             nb = jnp.where(need_sub, (e1 >> 16) + 8, bits0)
             return sym, nb
 
-        init = dict(
+        def make_init(mlen):
+          return dict(
             phase=jnp.where(mlen > 0, INIT, DONE),
             widx=zeros_i,
             b0=zeros_u, b1=zeros_u, b2=zeros_u,
@@ -190,10 +199,12 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             r1=jnp.full(S, 11, jnp.int32),
             r2=jnp.full(S, 15, jnp.int32),
             r3=jnp.full(S, 16, jnp.int32),
-        )
-        order = sorted(init.keys())
+          )
 
-        def row_step(s):
+        inits = [make_init(mlens_g[g]) for g in range(G)]
+        order = sorted(inits[0].keys())
+
+        def row_step(s, g, start_bit, mlen):
             s = dict(s)
             live = s["phase"] < DONE
 
@@ -205,7 +216,9 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             else:
                 acc = zeros_u
                 for d in range(D):
-                    acc = jnp.where(p_rel == d, win[d], acc)
+                    acc = jnp.where(
+                        p_rel == d, win[d, g * SUB:(g + 1) * SUB, :], acc
+                    )
             sh = (s["avail"] & 31).astype(jnp.uint32)
             limb = s["avail"] >> 5
             lo_part = jnp.where(need, acc << sh, jnp.uint32(0))
@@ -244,7 +257,7 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             if not skip_cmd:
               m = run & (phase0 == CMD)
               v15 = pk(15)
-              sym, nb = read_symbol(cmd_ref, CMD_K, v15)
+              sym, nb = read_symbol(cmd_ref, cmd_k, v15)
               cell = sym >> 6
               range_idx = jnp.where(cell < 2, cell, cell - 2)
               ins_high = (0x29850 >> (2 * range_idx)) & 3
@@ -315,11 +328,11 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             if not skip_lit:
               m = run & (phase0 == LIT)
               v15 = pk(15)
-              sym0, nb0 = read_symbol(lit_ref, LIT_K, v15)
+              sym0, nb0 = read_symbol(lit_ref, lit_k, v15)
               q = q + jnp.where(m, nb0, 0)
               have2 = m & (s["lit_rem"] >= 2) & (s["mbl"] >= 2)
               v15 = pk(15)
-              sym1, nb1 = read_symbol(lit_ref, LIT_K, v15)
+              sym1, nb1 = read_symbol(lit_ref, lit_k, v15)
               q = q + jnp.where(have2, nb1, 0)
               took = jnp.where(m, 1 + have2.astype(jnp.int32), 0)
               tok_lit = (
@@ -342,7 +355,7 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
               is_imp = s["implicit"] == 1
               m_read = m & ~is_imp
               v15 = pk(15)
-              sym, nb = read_symbol(dist_ref, DIST_K, v15)
+              sym, nb = read_symbol(dist_ref, dist_k, v15)
               q = q + jnp.where(m_read, nb, 0)
               dcode = jnp.where(m_read, sym, jnp.where(m, -1, s["dcode"]))
               s["dcode"] = dcode
@@ -367,7 +380,7 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
               # DIST and DIST_EX are mutually exclusive phases per stream.
               m2 = run & (phase0 == DIST_EX)
               dx_idx = jnp.where(m2, s["dcode"], dcode)
-              dxp = lookup(dx_ref, DX_K, jnp.clip(dx_idx, 0, DX_K * 128 - 1))
+              dxp = lookup(dx_ref, dx_k, jnp.clip(dx_idx, 0, dx_k * 128 - 1))
               nbx = dxp >> 26
               offx = dxp & 0x3FFFFFF
               can_x = m & is_long & (q + nbx <= 32)
@@ -456,13 +469,25 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
         def tuple_to_dict(t):
             return dict(zip(order, t))
 
+        def flatten_states(sts):
+            return tuple(x for st in sts for x in dict_to_tuple(st))
+
+        def unflatten_states(t):
+            n = len(order)
+            return [tuple_to_dict(t[g * n:(g + 1) * n]) for g in range(G)]
+
         def block_body(carry):
             blk, filled, st_t = carry
-            st = tuple_to_dict(st_t)
+            sts = unflatten_states(st_t)
 
             # ---- window advance (refill HALF words when safe) ----
-            active = st["phase"] < DONE
-            minp = jnp.min(jnp.where(active, st["widx"], jnp.int32(1 << 30)))
+            minp = jnp.int32(1 << 30)
+            for st in sts:
+                active = st["phase"] < DONE
+                minp = jnp.minimum(
+                    minp,
+                    jnp.min(jnp.where(active, st["widx"], jnp.int32(1 << 30))),
+                )
             do_refill = (minp >= filled - HALF) & (filled + HALF <= Wpad)
 
             @pl.when(do_refill)
@@ -477,19 +502,24 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
                 dma.wait()
 
             filled = jnp.where(do_refill, filled + HALF, filled)
-            st["_filled"] = filled  # broadcast scalar used by row_step
 
             def row_body(r, st_t2):
-                st2 = tuple_to_dict(st_t2[0])
-                st2["_filled"] = filled
-                st2, token = row_step(st2)
-                del st2["_filled"]
-                staging[r] = token
-                return (dict_to_tuple(st2),)
+                sts2 = unflatten_states(st_t2[0])
+                tokens = []
+                for g in range(G):
+                    st2 = sts2[g]
+                    st2["_filled"] = filled
+                    st2, token = row_step(st2, g, start_bits[g], mlens_g[g])
+                    del st2["_filled"]
+                    sts2[g] = st2
+                    tokens.append(token)
+                staging[r] = (
+                    tokens[0] if G == 1 else jnp.concatenate(tokens, axis=0)
+                )
+                return (flatten_states(sts2),)
 
             (st_t3,) = jax.lax.fori_loop(
-                0, block_rows, row_body,
-                (dict_to_tuple({k: v for k, v in st.items() if k != "_filled"}),),
+                0, block_rows, row_body, (flatten_states(sts),)
             )
             dma_out = pltpu.make_async_copy(
                 staging, out_ref.at[pl.ds(blk * block_rows, block_rows)], sem_out
@@ -502,17 +532,26 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             blk, filled, st_t = carry
             if debug_stub >= 8:  # fixed block count for perf bisection
                 return blk < n_blocks
-            st = tuple_to_dict(st_t)
-            return (blk < n_blocks) & jnp.any(st["phase"] < DONE)
+            sts = unflatten_states(st_t)
+            alive = jnp.zeros((), jnp.bool_)
+            for st in sts:
+                alive = alive | jnp.any(st["phase"] < DONE)
+            return (blk < n_blocks) & alive
 
         blk, filled, st_t = jax.lax.while_loop(
             block_cond, block_body,
-            (jnp.int32(0), jnp.int32(D), dict_to_tuple(init)),
+            (jnp.int32(0), jnp.int32(D), flatten_states(inits)),
         )
-        st = tuple_to_dict(st_t)
-        # status tail: row 0 phase, row 1 widx
-        staging[0] = st["phase"].astype(jnp.uint32)
-        staging[1] = st["widx"].astype(jnp.uint32)
+        sts = unflatten_states(st_t)
+        # status tail: row 0 phase, row 1 widx (per group, stacked sublanes)
+        staging[0] = (
+            sts[0]["phase"].astype(jnp.uint32) if G == 1
+            else jnp.concatenate([st["phase"].astype(jnp.uint32) for st in sts], axis=0)
+        )
+        staging[1] = (
+            sts[0]["widx"].astype(jnp.uint32) if G == 1
+            else jnp.concatenate([st["widx"].astype(jnp.uint32) for st in sts], axis=0)
+        )
         dma_tail = pltpu.make_async_copy(
             staging.at[pl.ds(0, 8)],
             out_ref.at[pl.ds(n_blocks * block_rows, 8)],
@@ -525,20 +564,22 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
         out_rows = n_blocks * block_rows + 8
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((out_rows, SUB, LANES), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct(
+                (out_rows, G * SUB, LANES), jnp.uint32
+            ),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),    # wt (Wpad,8,128) HBM
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # lit (5*8,128)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # cmd (9*8,128)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # dist (8*8,128)
+                pl.BlockSpec(memory_space=pltpu.ANY),    # wt (Wpad,G*8,128) HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lit (k*8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # cmd (k*8,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # dist (k*8,128)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # dx (5*8,128)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # consts (8,128)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # scal (16,128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # scal (G*16,128)
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((D, SUB, LANES), jnp.uint32),          # window
-                pltpu.VMEM((block_rows, SUB, LANES), jnp.uint32),  # staging
+                pltpu.VMEM((D, G * SUB, LANES), jnp.uint32),          # window
+                pltpu.VMEM((block_rows, G * SUB, LANES), jnp.uint32),  # staging
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
@@ -552,12 +593,14 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
 @functools.lru_cache(maxsize=8)
 def get_kernel(Wpad: int, D: int, block_rows: int, n_blocks: int,
                npostfix: int, ndirect: int, maxbw: int, interpret: bool = False,
-               debug_stub: int = 0):
+               debug_stub: int = 0,
+               lit_k: int = LIT_K, cmd_k: int = CMD_K, dist_k: int = DIST_K,
+               dx_k: int = DX_K, groups: int = 1):
     import jax
 
     return jax.jit(
         _build(Wpad, D, block_rows, n_blocks, npostfix, ndirect, maxbw,
-               interpret, debug_stub)
+               interpret, debug_stub, lit_k, cmd_k, dist_k, dx_k, groups)
     )
 
 
@@ -584,13 +627,19 @@ class SharedBatch:
     ndirect: int
     maxbw: int
     Wpad: int
+    groups: int = 1
+    lit_k: int = LIT_K
+    cmd_k: int = CMD_K
+    dist_k: int = DIST_K
+    dx_k: int = DX_K
 
 
-def preflight_shared(streams: list[bytes], D: int = 64) -> SharedBatch | None:
-    """Preflight a batch of <=1024 same-table streams for the v2 kernel."""
+def preflight_shared(streams: list[bytes], D: int = 64,
+                     groups: int = 1) -> SharedBatch | None:
+    """Preflight a batch of <=1024*groups same-table streams."""
     from .device_decode import preflight
 
-    if not streams or len(streams) > NSTREAM:
+    if not streams or len(streams) > NSTREAM * groups:
         return None
     pres = []
     for s in streams:
@@ -611,9 +660,11 @@ def preflight_shared(streams: list[bytes], D: int = 64) -> SharedBatch | None:
             return None
 
     # rebase each stream's words to its command start word
+    G = groups
+    NT = NSTREAM * G
     rebased = []
-    start_bits = np.zeros(NSTREAM, dtype=np.int32)
-    mlens = np.zeros(NSTREAM, dtype=np.int64)
+    start_bits = np.zeros(NT, dtype=np.int32)
+    mlens = np.zeros(NT, dtype=np.int64)
     for i, p in enumerate(pres):
         w0 = p.cmd_start_bit >> 5
         rebased.append(p.words[w0:])
@@ -621,22 +672,38 @@ def preflight_shared(streams: list[bytes], D: int = 64) -> SharedBatch | None:
         mlens[i] = p.mlen
     max_words = max(r.shape[0] for r in rebased)
     Wpad = _round_up(max_words, D) + D
-    wt = np.zeros((Wpad, SUB, LANES), dtype=np.uint32)
+    wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
     for i, r in enumerate(rebased):
-        wt[: r.shape[0], i // LANES, i % LANES] = r
+        g, rem = divmod(i, NSTREAM)
+        wt[: r.shape[0], g * SUB + rem // LANES, rem % LANES] = r
 
     dx = (np.asarray(p0.dist_extra, np.int32) << 26) | np.asarray(
         p0.dist_offset, np.int32
     )
-    scal = np.zeros((2 * SUB, LANES), dtype=np.int32)
-    scal[0:SUB, :] = start_bits.reshape(SUB, LANES)
-    scal[SUB:2 * SUB, :] = mlens.reshape(SUB, LANES).astype(np.int32)
+    scal = np.zeros((2 * G * SUB, LANES), dtype=np.int32)
+    for g in range(G):
+        sb = start_bits[g * NSTREAM:(g + 1) * NSTREAM].reshape(SUB, LANES)
+        ml = mlens[g * NSTREAM:(g + 1) * NSTREAM].reshape(SUB, LANES)
+        scal[2 * g * SUB:(2 * g + 1) * SUB, :] = sb
+        scal[(2 * g + 1) * SUB:(2 * g + 2) * SUB, :] = ml.astype(np.int32)
+    def used_k(table, cap):
+        # chunks actually occupied by this batch's (shared) tables
+        n = len(table)
+        while n > 1 and table[n - 1] == 0:
+            n -= 1
+        return max(2, min(cap, -(-n // 128)))  # >=2: root always addressable
+
+    lit_k = used_k(p0.lit_table, LIT_K)
+    cmd_k = used_k(p0.cmd_table, CMD_K)
+    dist_k = used_k(p0.dist_table, DIST_K)
     return SharedBatch(
         wt=wt,
-        lit_t=_replicate(p0.lit_table, LIT_K),
-        cmd_t=_replicate(p0.cmd_table, CMD_K),
-        dist_t=_replicate(p0.dist_table, DIST_K),
+        lit_t=_replicate(p0.lit_table[: lit_k * 128], lit_k),
+        cmd_t=_replicate(p0.cmd_table[: cmd_k * 128], cmd_k),
+        dist_t=_replicate(p0.dist_table[: dist_k * 128], dist_k),
         dx_t=_replicate(dx, DX_K),
+        groups=G,
+        lit_k=lit_k, cmd_k=cmd_k, dist_k=dist_k, dx_k=DX_K,
         consts=_build_consts(),
         scal=scal,
         mlens=mlens,
@@ -670,6 +737,8 @@ def run_batch(batch: SharedBatch, D: int = DEFAULT_D,
     kernel = get_kernel(
         batch.Wpad, D, block_rows, n_blocks,
         batch.npostfix, batch.ndirect, batch.maxbw, interpret,
+        lit_k=batch.lit_k, cmd_k=batch.cmd_k, dist_k=batch.dist_k,
+        dx_k=batch.dx_k, groups=batch.groups,
     )
     out = kernel(
         jnp.asarray(batch.wt), jnp.asarray(batch.lit_t),
@@ -719,19 +788,28 @@ def resolve_tokens_py(tokens: np.ndarray, sub: int, lane: int, out_len: int) -> 
     return bytes(out[:pos])
 
 
+MAX_GROUPS = 12  # measured sweet spot on v5e; 16 regresses (register spills)
+
+
 def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
                          interpret: bool = False,
-                         D: int = DEFAULT_D) -> list[bytes]:
+                         D: int = DEFAULT_D,
+                         groups: int | None = None) -> list[bytes]:
     """Full v2 pipeline: shared-table entropy kernel + native LZ resolution.
 
-    Batches of same-table streams (encode_sharded output) take the 1024-lane
-    kernel; anything else falls back to the v1 per-lane-table pipeline or
-    the host decoder.
+    Batches of same-table streams (encode_sharded output) take the lockstep
+    kernel — up to MAX_GROUPS independent 1024-stream groups interleaved in
+    one kernel launch (the per-stream dependency chain is latency-bound;
+    extra groups fill the pipeline, measured 1.26 -> 6.1 GB/s at G=12).
+    Anything else falls back to the v1 per-lane-table pipeline or the host
+    decoder.
     """
     from ..decode import decode as host_decode
     from ..native import lz_resolve_batch_v2
 
-    batch = preflight_shared(streams, D=D)
+    if groups is None:
+        groups = min(MAX_GROUPS, -(-len(streams) // NSTREAM))
+    batch = preflight_shared(streams, D=D, groups=groups)
     if batch is None:
         from .pallas_decode import decode_batch_pallas
 
@@ -739,7 +817,7 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
                                    interpret=interpret)
     tokens, phases = run_batch(batch, D=D, interpret=interpret)
     flat_phases = phases.reshape(-1)
-    expected = np.zeros(NSTREAM, dtype=np.int64)
+    expected = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
     expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
     out, lens = lz_resolve_batch_v2(tokens.reshape(tokens.shape[0], -1),
                                     expected, n_threads)

@@ -142,6 +142,8 @@ def decode_batches_multichip(
         kernel = P2.get_kernel(
             batch.Wpad, P2.DEFAULT_D, P2.DEFAULT_BLOCK_ROWS, n_blocks,
             batch.npostfix, batch.ndirect, batch.maxbw, interpret,
+            lit_k=batch.lit_k, cmd_k=batch.cmd_k, dist_k=batch.dist_k,
+            dx_k=batch.dx_k,
         )
         args = [
             jax.device_put(jnp.asarray(x), dev)

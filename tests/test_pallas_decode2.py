@@ -103,3 +103,11 @@ def test_larger_batch_roundtrip():
     streams = encode_sharded(data, chunk_size=2048)
     got = decode_batch_pallas2(streams, interpret=True)
     assert b"".join(got) == data
+
+
+def test_interleaved_groups():
+    # 2 independent 1024-stream groups in one kernel (latency-hiding mode)
+    data = ALICE[:6144]
+    streams = encode_sharded(data, chunk_size=512)
+    got = decode_batch_pallas2(streams, interpret=True, groups=2)
+    assert b"".join(got) == data
