@@ -16,13 +16,13 @@ _LIB: ctypes.CDLL | None = None
 
 
 def _build() -> Path:
-    src = _DIR / "lz_resolve.cpp"
+    srcs = [_DIR / "lz_resolve.cpp", _DIR / "decoder.cpp"]
     out = _DIR / "libbrotli_tpu_native.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(out), str(src), "-lpthread",
+        "-o", str(out), *map(str, srcs), "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
@@ -39,6 +39,17 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
             ]
+        dec = lib.brotli_native_decode
+        dec.restype = ctypes.c_int
+        dec.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 12
+            + [ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+            + [ctypes.c_int32]
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        )
         _LIB = lib
     return _LIB
 
@@ -90,3 +101,111 @@ def lz_resolve_batch_v2(tokens, expected_lens, n_threads: int = 8):
         n_threads,
     )
     return out, lens
+
+
+# ---------------------------------------------------------------------------
+# native host decoder (decoder.cpp)
+# ---------------------------------------------------------------------------
+
+_DEC_TABLES = None
+
+
+def _decoder_tables():
+    """Flat ctypes-ready format tables (single source of truth: constants.py)."""
+    global _DEC_TABLES
+    if _DEC_TABLES is None:
+        import numpy as np
+
+        from ..constants import (
+            BLOCK_LENGTH_N_BITS, BLOCK_LENGTH_OFFSET, CMD_LUT,
+            CODE_LENGTH_CODE_LENGTHS, CODE_LENGTH_CODE_ORDER,
+            COPY_LENGTH_N_BITS, COPY_LENGTH_OFFSET,
+            DICT_OFFSETS_BY_LENGTH, DICT_SIZE_BITS_BY_LENGTH,
+            INSERT_LENGTH_N_BITS, INSERT_LENGTH_OFFSET,
+        )
+        from ..decode.dictionary import get_dictionary
+        from ..decode.engine import _CONTEXT_LUT
+        from ..decode.transforms import TRANSFORM_LIST
+
+        storage = bytearray()
+        spans = np.zeros((len(TRANSFORM_LIST), 4), dtype=np.int32)
+        ops = np.zeros(len(TRANSFORM_LIST), dtype=np.int32)
+        for i, (pre, op, suf) in enumerate(TRANSFORM_LIST):
+            spans[i, 0] = len(storage); spans[i, 1] = len(pre)
+            storage.extend(pre)
+            spans[i, 2] = len(storage); spans[i, 3] = len(suf)
+            storage.extend(suf)
+            ops[i] = op
+
+        def i32(x):
+            return np.ascontiguousarray(np.asarray(x, dtype=np.int32))
+
+        _DEC_TABLES = dict(
+            ins_nbits=i32(INSERT_LENGTH_N_BITS), ins_offset=i32(INSERT_LENGTH_OFFSET),
+            cp_nbits=i32(COPY_LENGTH_N_BITS), cp_offset=i32(COPY_LENGTH_OFFSET),
+            blen_nbits=i32(BLOCK_LENGTH_N_BITS), blen_offset=i32(BLOCK_LENGTH_OFFSET),
+            cmd_lut=i32(CMD_LUT).reshape(-1), context_lut=i32(_CONTEXT_LUT),
+            clc_order=i32(CODE_LENGTH_CODE_ORDER), clc_lengths=i32(CODE_LENGTH_CODE_LENGTHS),
+            dict_offsets=i32(DICT_OFFSETS_BY_LENGTH), dict_sizebits=i32(DICT_SIZE_BITS_BY_LENGTH),
+            dict_data=np.frombuffer(get_dictionary(), dtype=np.uint8),
+            tf_spans=spans.reshape(-1), tf_ops=ops,
+            tf_storage=np.frombuffer(bytes(storage) + b"\x00", dtype=np.uint8),
+        )
+    return _DEC_TABLES
+
+
+def native_decode(data: bytes, custom_dictionary=None,
+                  large_window: bool = False) -> bytes:
+    """Decode via the C++ host decoder; raises BrotliError on failure."""
+    import numpy as np
+
+    from ..decode.bitreader import BrotliError
+
+    lib = get_lib()
+    if not hasattr(lib, "brotli_native_decode"):
+        raise RuntimeError("native decoder missing")
+    T = _decoder_tables()
+
+    cd_chunks = []
+    if custom_dictionary is not None:
+        cd_chunks = (
+            [bytes(custom_dictionary)]
+            if isinstance(custom_dictionary, (bytes, bytearray, memoryview))
+            else [bytes(c) for c in custom_dictionary]
+        )
+        if len(cd_chunks) > 15:
+            raise BrotliError(-27, "too many dictionary chunks")
+    cd_data = np.frombuffer(b"".join(cd_chunks) + b"\x00", dtype=np.uint8)
+    cd_offsets = np.zeros(len(cd_chunks) + 1, dtype=np.int64)
+    for i, c in enumerate(cd_chunks):
+        cd_offsets[i + 1] = cd_offsets[i] + len(c)
+
+    buf = np.frombuffer(bytes(data) + b"\x00", dtype=np.uint8)
+    cap = max(len(data) * 6 + (1 << 20), 1 << 16)
+    for _ in range(4):
+        out = np.zeros(cap, dtype=np.uint8)
+        out_len = ctypes.c_int64(0)
+        p = ctypes.c_void_p
+        rc = lib.brotli_native_decode(
+            buf.ctypes.data_as(p), len(data),
+            T["ins_nbits"].ctypes.data_as(p), T["ins_offset"].ctypes.data_as(p),
+            T["cp_nbits"].ctypes.data_as(p), T["cp_offset"].ctypes.data_as(p),
+            T["blen_nbits"].ctypes.data_as(p), T["blen_offset"].ctypes.data_as(p),
+            T["cmd_lut"].ctypes.data_as(p), T["context_lut"].ctypes.data_as(p),
+            T["clc_order"].ctypes.data_as(p), T["clc_lengths"].ctypes.data_as(p),
+            T["dict_offsets"].ctypes.data_as(p), T["dict_sizebits"].ctypes.data_as(p),
+            T["dict_data"].ctypes.data_as(p), len(T["dict_data"]),
+            T["tf_spans"].ctypes.data_as(p), T["tf_ops"].ctypes.data_as(p),
+            T["tf_storage"].ctypes.data_as(p), len(T["tf_ops"]),
+            cd_data.ctypes.data_as(p), cd_offsets.ctypes.data_as(p),
+            len(cd_chunks),
+            1 if large_window else 0,
+            out.ctypes.data_as(p), cap, ctypes.byref(out_len),
+        )
+        if rc == -1000:
+            cap = max(cap * 2, int(out_len.value) + 64)
+            continue
+        if rc != 0:
+            raise BrotliError(rc)
+        return out[: out_len.value].tobytes()
+    raise BrotliError(-1, "output capacity retry exhausted")

@@ -72,3 +72,31 @@ def test_truncated_input_raises():
 def test_garbage_raises():
     with pytest.raises(BrotliError):
         decode(b"\x0c\xff\xff\xff\xff\xff\xff")
+
+
+# --- native C++ decoder vs python golden engine ---
+
+def test_native_matches_python_engine():
+    from brotli_tpu.decode.engine import decode as py_decode
+    from brotli_tpu.native import native_decode
+
+    for comp, base in _PAIRS[:12]:
+        data = (VEC / comp).read_bytes()
+        assert native_decode(data) == py_decode(data) == (VEC / base).read_bytes()
+
+
+def test_native_error_codes_match():
+    from brotli_tpu.native import native_decode
+
+    for bad in (b"\x1b\x03\x00\xff\xff\xff", b"\x00", b""):
+        py_code = nat_code = None
+        try:
+            from brotli_tpu.decode.engine import decode as py_decode
+            py_decode(bad)
+        except BrotliError as e:
+            py_code = e.code
+        try:
+            native_decode(bad)
+        except BrotliError as e:
+            nat_code = e.code
+        assert (py_code is None) == (nat_code is None)
