@@ -172,3 +172,39 @@ def decode_batches_multichip(
             else:
                 results[base + k] = bytes(resolved[k, : lens[k]])
     return results  # type: ignore[return-value]
+
+
+def encode_batches_multichip(
+    data: bytes,
+    mesh=None,
+    *,
+    chunk_size: int = 32768,
+    hash_stride: int = 1,
+    interpret: bool = False,
+) -> list[bytes]:
+    """Encode large inputs across mesh devices, one 32 MB batch per device.
+
+    Data parallel like decode_batches_multichip: each device runs the full
+    sort-based encode pipeline (ops/device_encode.py) on its own batch of
+    up to 1024 chunks; outputs reassemble in order.
+    """
+    import jax
+
+    from ..ops.device_encode import B_LANES, encode_device_batch
+
+    if mesh is None:
+        mesh = get_mesh()
+    devices = list(mesh.devices.reshape(-1))
+    batch_bytes = B_LANES * chunk_size
+    out: list[bytes] = []
+    for bi, off in enumerate(range(0, len(data), batch_bytes)):
+        piece = data[off : off + batch_bytes]
+        dev = devices[bi % len(devices)]
+        with jax.default_device(dev):
+            out.extend(
+                encode_device_batch(
+                    piece, chunk_size=chunk_size,
+                    hash_stride=hash_stride, interpret=interpret,
+                )
+            )
+    return out

@@ -85,3 +85,16 @@ def test_multichip_v2_mixed_fallback():
                                    group_size=2)
     assert got[0] == ALICE[:600]
     assert got[1] == bytes(900)
+
+
+def test_multichip_encode_batches():
+    from brotli_tpu.decode import decode
+    from brotli_tpu.parallel.mesh import encode_batches_multichip, get_mesh
+
+    # > 1 MB so the input splits into two per-device batches (1024 x 1 KB)
+    data = (ALICE * 12)[: 1600 * 1024]
+    streams = encode_batches_multichip(
+        data, get_mesh(2), chunk_size=1024, interpret=True
+    )
+    assert len(streams) == 1600
+    assert b"".join(decode(s) for s in streams) == data
