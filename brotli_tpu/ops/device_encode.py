@@ -247,10 +247,20 @@ def find_matches(data_u8, n_valid, hash_stride: int = 1):
 # ---------------------------------------------------------------------------
 
 def greedy_parse(mlen, mdist, n_valid):
-    """Returns (is_cs, is_lit) bool (B, N): copy starts and literals."""
+    """Returns (is_cs, is_lit, dcode_short) (B, N).
+
+    The scan also simulates the decoder's 4-entry distance ring exactly
+    (RFC 4): dcode_short[p] is the short distance code (0-15) a copy at p
+    can use, or -1 — code 0 means "repeat last distance" (no ring push),
+    matching the decoder's update rule (push on any code != 0)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    from ..constants import (
+        DISTANCE_SHORT_CODE_DELTA,
+        DISTANCE_SHORT_CODE_INDEX,
+    )
 
     B, N = mlen.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -262,39 +272,64 @@ def greedy_parse(mlen, mdist, n_valid):
 
     take_c = take.reshape(B, N // CELL, CELL).transpose(1, 0, 2)
     len_c = mlen.reshape(B, N // CELL, CELL).transpose(1, 0, 2)
+    dist_c = mdist.reshape(B, N // CELL, CELL).transpose(1, 0, 2)
+
+    sidx = [int(x) for x in DISTANCE_SHORT_CODE_INDEX]
+    sdel = [int(x) for x in DISTANCE_SHORT_CODE_DELTA]
 
     def cell_body(carry, xs):
-        next_free, base = carry
-        take_i, len_i = xs
+        next_free, base, r0, r1, r2, r3 = carry
+        take_i, len_i, dist_i = xs
         cs_rows = []
         lit_rows = []
+        dc_rows = []
         for i in range(CELL):
             p = base + i
             free = p >= next_free
             csi = free & take_i[:, i]
             liti = free & ~take_i[:, i] & (p < n_valid)
             next_free = jnp.where(csi, p + len_i[:, i], next_free)
+            d = dist_i[:, i]
+            # exact ring hits only (codes 0-3); the +/-1..3 delta codes
+            # (4-15) are rare and tripled the scan cost when probed
+            dc = jnp.full(B, -1, jnp.int32)
+            ring = (r0, r1, r2, r3)
+            for k in range(3, -1, -1):
+                cand = ring[sidx[k]] + sdel[k]
+                dc = jnp.where((d == cand) & (cand > 0), k, dc)
+            dc = jnp.where(csi, dc, -1)
+            # ring push on any used code != 0 (long codes and short 1-15)
+            push = csi & (dc != 0)
+            r3 = jnp.where(push, r2, r3)
+            r2 = jnp.where(push, r1, r2)
+            r1 = jnp.where(push, r0, r1)
+            r0 = jnp.where(push, d, r0)
             cs_rows.append(csi)
             lit_rows.append(liti)
-        return (next_free, base + CELL), (
-            jnp.stack(cs_rows, axis=1), jnp.stack(lit_rows, axis=1)
+            dc_rows.append(dc)
+        return (next_free, base + CELL, r0, r1, r2, r3), (
+            jnp.stack(cs_rows, axis=1),
+            jnp.stack(lit_rows, axis=1),
+            jnp.stack(dc_rows, axis=1),
         )
 
-    (_, _), (cs_c, lit_c) = lax.scan(
+    init_ring = [jnp.full(B, v, jnp.int32) for v in (4, 11, 15, 16)]
+    (_, _, _, _, _, _), (cs_c, lit_c, dc_c) = lax.scan(
         cell_body,
-        (jnp.zeros(B, jnp.int32), jnp.int32(0)),
-        (take_c, len_c),
+        (jnp.zeros(B, jnp.int32), jnp.int32(0), *init_ring),
+        (take_c, len_c, dist_c),
     )
     is_cs = cs_c.transpose(1, 0, 2).reshape(B, N)
     is_lit = lit_c.transpose(1, 0, 2).reshape(B, N)
-    return is_cs, is_lit
+    dcode_short = dc_c.transpose(1, 0, 2).reshape(B, N)
+    return is_cs, is_lit, dcode_short
 
 
 # ---------------------------------------------------------------------------
 # stage 6: symbol records
 # ---------------------------------------------------------------------------
 
-def build_records(data_u8, mlen, mdist, is_cs, is_lit, n_valid):
+def build_records(data_u8, mlen, mdist, is_cs, is_lit, dcode_short, n_valid):
     """Returns record arrays (rec0, rec1) (B, N+1) already in STREAM order.
 
     rec0 = kind<<28 | code   (code: cmd_prefix / literal byte / dist code)
@@ -326,16 +361,9 @@ def build_records(data_u8, mlen, mdist, is_cs, is_lit, n_valid):
     prev_end = jnp.maximum(cend_excl, 0)
     ins_len = jnp.where(is_cs, pos - prev_end, 0)
 
-    # previous command's effective distance (for code-0 / implicit reuse);
-    # pack (pos+1)<<15 | dist: both < 2^15... pos+1 <= 2^15, dist < 2^15
-    packd = jnp.where(is_cs, ((pos + 1) << 15) | jnp.minimum(mdist, 0x7FFF), 0)
-    packd_cum = lax.cummax(packd, axis=1)
-    packd_excl = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), packd_cum[:, :-1]], axis=1
-    )
-    prev_dist = jnp.where(packd_excl > 0, packd_excl & 0x7FFF, 4)
-
-    same_dist = is_cs & (mdist == prev_dist)
+    # short distance codes come from the parse's exact ring simulation
+    has_short = is_cs & (dcode_short >= 0)
+    code0 = is_cs & (dcode_short == 0)
 
     ins_code = _code_from_offsets(ins_len, INSERT_LENGTH_OFFSET)
     cp_code = _code_from_offsets(mlen, COPY_LENGTH_OFFSET)
@@ -348,19 +376,18 @@ def build_records(data_u8, mlen, mdist, is_cs, is_lit, n_valid):
     ins_val = ins_len - ins_base
     cp_val = mlen - cp_base
 
-    implicit = same_dist & (ins_code < 8) & (cp_code < 16)
-    cmd_prefix = _combine_length_codes(ins_code, cp_code, same_dist)
+    implicit = code0 & (ins_code < 8) & (cp_code < 16)
+    cmd_prefix = _combine_length_codes(ins_code, cp_code, code0)
 
-    # distance code: 0 when same as previous (non-implicit), else long form
+    # distance code: short ring code when available, else long form
     dd = mdist + 3  # npostfix=0, ndirect=0: dist -> dist+3, bucket form
     bucket = _ilog2(jnp.maximum(dd, 4)) - 1
     prefix = (dd >> bucket) & 1
     offset = (2 + prefix) << bucket
-    dnbits = bucket
     dcode_long = 16 + 2 * (bucket - 1) + prefix
     dval_long = dd - offset
-    dcode = jnp.where(same_dist, 0, dcode_long)
-    dval = jnp.where(same_dist, 0, dval_long)
+    dcode = jnp.where(has_short, dcode_short, dcode_long)
+    dval = jnp.where(has_short, 0, dval_long)
 
     # --- record placement (stream order == position order) ---
     # DIST_k at cs_k+1; CMD_{k+1} (or the trailing insert-only command) at
@@ -453,6 +480,25 @@ CMD_TAB_OFF = 256
 DIST_TAB_OFF = 960
 PACK_BR = 256        # records per grid step
 KEY_PAD = 0x7FFFFFFF
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _jitted_stages(hash_stride: int):
+    import jax
+
+    return jax.jit(
+        _functools.partial(_device_stages, hash_stride=hash_stride)
+    )
+
+
+@_functools.lru_cache(maxsize=16)
+def _jitted_pack(n_blocks: int, interpret: bool):
+    import jax
+
+    return jax.jit(_build_pack(n_blocks, interpret))
 
 
 def _build_pack(n_blocks: int, interpret: bool):
@@ -709,9 +755,9 @@ class DeviceEncodeResult:
 def _device_stages(data_arr, n_valid, hash_stride: int = 1):
     """All XLA stages fused under one jit: records ready for packing."""
     mlen, mdist = find_matches(data_arr, n_valid, hash_stride)
-    is_cs, is_lit = greedy_parse(mlen, mdist, n_valid)
+    is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid)
     rec0, rec1, n_rec = build_records(
-        data_arr, mlen, mdist, is_cs, is_lit, n_valid
+        data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid
     )
     return rec0, rec1, n_rec
 
@@ -758,8 +804,7 @@ def encode_device_batch(
     data_arr = jnp.asarray(data_np)
     n_valid = jnp.asarray(n_valid_np)
 
-    import functools
-    stages = jax.jit(functools.partial(_device_stages, hash_stride=hash_stride))
+    stages = _jitted_stages(hash_stride)
     rec0, rec1, n_rec = stages(data_arr, n_valid)
 
     # ---- host: sampled histograms -> shared tables -> headers ----
@@ -809,8 +854,8 @@ def encode_device_batch(
 
     rec0_t = _to_sub_lanes(pad_r(rec0))
     rec1_t = _to_sub_lanes(pad_r(rec1))
-    pack = _build_pack(n_blocks, interpret)
-    keys, words, status = jax.jit(pack)(
+    pack = _jitted_pack(n_blocks, interpret)
+    keys, words, status = pack(
         rec0_t, rec1_t, jnp.asarray(tab_np), jnp.asarray(_pack_consts()),
         jnp.asarray(init0_np), jnp.asarray(initav_np),
     )

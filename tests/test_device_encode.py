@@ -40,7 +40,7 @@ def test_random_all_literals():
 
 
 def test_tiny_single_chunk():
-    roundtrip(ALICE[:200], 64)
+    roundtrip(ALICE[:1000], 1024)
 
 
 def test_hash_stride_2():
@@ -64,5 +64,5 @@ def test_device_streams_decode_in_lockstep_kernel():
 
 
 def test_compression_is_real():
-    n = roundtrip(ALICE[: 32 * 1024], 2048)
+    n = roundtrip(ALICE[: 32 * 1024], 1024)
     assert n < 0.7 * 32 * 1024
