@@ -66,7 +66,7 @@ int64_t resolve_lane(const uint32_t* tokens, int64_t n_rows, int64_t stride,
 
 // ---- v2 token format (ops/pallas_decode2.py) ----
 // PAD = 0; tag = t >> 30:
-//   0: literals, count=(t>>24)&3 in 1..2, bytes at bits 0-7, 8-15
+//   0: literals, count=(t>>24)&3 in 1..3, bytes at bits 0-7, 8-15, 16-23
 //   1: copy_len = t & 0xFFFFFF (awaits a tag-2 distance)
 //   2: distance = t & 0x3FFFFFFF (completes the tag-1 copy)
 //   3: fused copy: copy_len=(t>>22)&0xFF, distance = t & 0x3FFFFF
@@ -82,7 +82,8 @@ int64_t resolve_lane_v2(const uint32_t* tokens, int64_t n_rows, int64_t stride,
       int64_t cnt = (t >> 24) & 3;
       if (pos + cnt > out_cap) return -1;
       out[pos++] = static_cast<uint8_t>(t & 0xFF);
-      if (cnt == 2) out[pos++] = static_cast<uint8_t>((t >> 8) & 0xFF);
+      if (cnt >= 2) out[pos++] = static_cast<uint8_t>((t >> 8) & 0xFF);
+      if (cnt == 3) out[pos++] = static_cast<uint8_t>((t >> 16) & 0xFF);
     } else if (tag == 1) {
       copy_len = static_cast<int64_t>(t & 0xFFFFFFu);
     } else {

@@ -30,7 +30,7 @@ guarantees any row's worst case.  Phases that could exceed the budget
 Token stream v2 (u32, PAD = 0), resolved sequentially per stream by the
 native resolver (native/lz_resolve.cpp, v2 entry point):
   tag = t >> 30
-  0: literals   count=(t>>24)&3 in 1..2; bytes at bits 0-7, 8-15
+  0: literals   count=(t>>24)&3 in 1..3; bytes at bits 0-7, 8-15, 16-23
   1: copy_len   t & 0xFFFFFF; its distance follows as the next tag-2 token
   2: distance   t & 0x3FFFFFFF (completes a tag-1 copy)
   3: fused copy copy_len=(t>>22)&0xFF (2..255), distance = t & 0x3FFFFF
@@ -334,6 +334,8 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
               v15 = pk(15)
               sym1, nb1 = read_symbol(lit_ref, lit_k, v15)
               q = q + jnp.where(have2, nb1, 0)
+              # (a 3rd literal per row was tried: the extra lookup plus the
+              # stall rows it induces cost more than the row savings)
               took = jnp.where(m, 1 + have2.astype(jnp.int32), 0)
               tok_lit = (
                 sym0.astype(jnp.uint32)
