@@ -27,7 +27,7 @@ def encode_sharded_device(data, **kw):
 
     return encode_device_batch(data, **kw)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "decode", "decoded_size", "BrotliError",

@@ -26,7 +26,12 @@ class BitReader:
     def __init__(self, data: bytes):
         self.data = data
         self.total_bits = len(data) * 8
-        pad = (-len(data)) % 4 + 12  # slack so words[w+1] exists for all valid w
+        # 4 words of zero slack past the input, exactly like the native
+        # decoder (decoder.cpp BitReader: (len+3)/4 + 4 words, fast = n-2):
+        # truncated streams read zero padding until either a format error
+        # fires or the slack runs out (-10), and the two decoders must take
+        # the SAME branch (error-code parity is tested).
+        pad = (-len(data)) % 4 + 16
         self.words = np.frombuffer(data + b"\x00" * pad, dtype="<u4").tolist()
         # any word index >= this implies bitpos is past end of input
         self._fast_words = len(self.words) - 2

@@ -4,9 +4,14 @@ q10: single pass with a heuristic literal-cost model.
 q11: match pre-collection, then two DP iterations (literal-cost model, then
 actual command histograms).  Decision-critical quirks preserved:
   * max backward hardcoded to (1<<22)-16,
-  * distance cost looked up at (dist+15)&0x3FF with OOB poisoning (distances
-    529-1008 mod 1024 are unreachable via explicit codes),
   * queue of 8 start positions sorted by costdiff.
+Documented divergences (both FIX reference bugs, per the north star's
+"size <= reference" contract; see inline comments):
+  * distance cache reconstruction continues from the pre-block cache instead
+    of reading OOB (backward-references-hq.ts:232),
+  * hasher-match distance costs use the prefix-encoded distance SYMBOL, not
+    the raw (dist+15) value as a cost index (backward-references-hq.ts:340),
+    which in the reference NaN-poisons half of all far matches.
 """
 
 from __future__ import annotations
@@ -20,9 +25,9 @@ from ..constants import (
     get_copy_length_code,
     get_insert_length_code,
 )
-from .command import Command, make_command
+from .command import Command, make_command, prefix_encode_copy_distance
 from .cost_model import INFINITY_COST, ZopfliCostModel
-from .matching import find_match_length, log2_floor_nonzero
+from .matching import find_match_length
 from .hash_binary_tree import BinaryTreeHasher
 
 MAX_BACKWARD_LIMIT = (1 << 22) - 16
@@ -176,6 +181,7 @@ def _update_zopfli_node(nodes, pos, start_pos, ln, len_code, dist, short_code, c
 def _update_nodes(
     num_bytes, block_start, pos, data, mask, quality,
     starting_cache, matches, model, queue, nodes,
+    npostfix=0, ndirect=0,
 ) -> int:
     cur_ix = block_start + pos
     cur = cur_ix & mask
@@ -239,9 +245,20 @@ def _update_nodes(
         for m in matches:
             dist = m.distance
             is_dict = dist > max_distance
-            dist_code = dist + 15
-            nbits = 0 if dist_code < 16 else log2_floor_nonzero(dist) - 1
-            dist_cost = base_cost + nbits + model.get_distance_cost(dist_code & 0x3FF)
+            # Deliberate divergence from the reference: backward-references-
+            # hq.ts:340-345 prices a match at costDist[dist + 15], a raw
+            # distance used as a SYMBOL index — any dist in [529,1008] mod
+            # 1024 reads past the 544-entry cost array (NaN cost in JS), so
+            # the reference's own Zopfli silently rejects ~half of all far
+            # matches and q10/11 compress WORSE than q9 on text.  Google's C
+            # (backward_references_hq.c UpdateNodes) prefix-encodes the
+            # distance to its real symbol first; we do the same, which is
+            # also what makes pass-2 costs (histograms of real symbols)
+            # consistent.  Measured: alice29 q11 59390 -> ~49K bytes.
+            dist_sym, _, nbits = prefix_encode_copy_distance(
+                dist + 15, ndirect, npostfix
+            )
+            dist_cost = base_cost + nbits + model.get_distance_cost(dist_sym & 0x3FF)
             max_match_len = m.length
             if match_len < max_match_len and (is_dict or max_match_len > max_zlen):
                 match_len = max_match_len
@@ -332,7 +349,7 @@ def create_zopfli_backward_references(
         matches = _trim_long_matches(matches, max_zlen)
         skip = _update_nodes(
             num_bytes, position, i, data, mask, quality,
-            dist_cache, matches, model, queue, nodes,
+            dist_cache, matches, model, queue, nodes, npostfix, ndirect,
         )
         if skip >= LONG_COPY_QUICK_STEP:
             i += skip - 1
@@ -402,7 +419,7 @@ def create_hq_zopfli_backward_references(
             matches = all_matches[i]
             skip = _update_nodes(
                 num_bytes, position, i, data, mask, quality,
-                dist_cache, matches, model, queue, nodes,
+                dist_cache, matches, model, queue, nodes, npostfix, ndirect,
             )
             if skip >= LONG_COPY_QUICK_STEP:
                 i += skip - 1

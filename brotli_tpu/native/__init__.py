@@ -8,6 +8,7 @@ runtime that are memory- or IO-bound on the host: LZ token resolution
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -16,15 +17,28 @@ _LIB: ctypes.CDLL | None = None
 
 
 def _build() -> Path:
+    """Compile the native library, gated on a content hash of the sources.
+
+    mtime comparison is unreliable (git checkouts don't preserve mtimes) and
+    a stale committed binary built with -march=native elsewhere can SIGILL;
+    the hash stamp guarantees the loaded .so matches the checked-out sources
+    and was built on this host.
+    """
     srcs = [_DIR / "lz_resolve.cpp", _DIR / "decoder.cpp"]
     out = _DIR / "libbrotli_tpu_native.so"
-    if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime for s in srcs):
+    stamp = _DIR / ".native_build_hash"
+    h = hashlib.sha256()
+    for s in srcs:
+        h.update(s.read_bytes())
+    digest = h.hexdigest()
+    if out.exists() and stamp.exists() and stamp.read_text().strip() == digest:
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         "-o", str(out), *map(str, srcs), "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    stamp.write_text(digest)
     return out
 
 

@@ -762,26 +762,16 @@ def _device_stages(data_arr, n_valid, hash_stride: int = 1):
     return rec0, rec1, n_rec
 
 
-def encode_device_batch(
-    data: bytes,
-    *,
-    chunk_size: int = CHUNK_N,
-    lgwin: int = 22,
-    interpret: bool = False,
-    sample_stride: int = 256,
-    hash_stride: int = 1,
-) -> list[bytes]:
-    """Encode `data` on the TPU as B<=1024 same-table chunk streams."""
-    import jax
+def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
+                  sample_stride: int):
+    """Host prep + dispatch of the XLA match/parse/record stages.
+
+    Returns a state dict; the device work is in flight when this returns
+    (nothing has been fetched), so several devices can run concurrently.
+    """
     import jax.numpy as jnp
-    from jax import lax
 
     assert chunk_size <= CHUNK_N and chunk_size % CELL == 0
-    data = bytes(data)
-    if len(data) == 0:
-        from ..encode.api import _encode_empty
-
-        return [_encode_empty()]
     n_chunks = -(-len(data) // chunk_size)
     assert n_chunks <= B_LANES, "batch too large; split input"
 
@@ -806,10 +796,49 @@ def encode_device_batch(
 
     stages = _jitted_stages(hash_stride)
     rec0, rec1, n_rec = stages(data_arr, n_valid)
+    rec0_sample_dev = rec0[:, ::sample_stride]  # stays async
+    return dict(
+        data=data, chunk_size=chunk_size, n_chunks=n_chunks,
+        n_valid_np=n_valid_np, rec0=rec0, rec1=rec1,
+        rec0_sample_dev=rec0_sample_dev,
+    )
+
+
+def encode_device_batch(
+    data: bytes,
+    *,
+    chunk_size: int = CHUNK_N,
+    lgwin: int = 22,
+    interpret: bool = False,
+    sample_stride: int = 256,
+    hash_stride: int = 1,
+) -> list[bytes]:
+    """Encode `data` on the TPU as B<=1024 same-table chunk streams."""
+    data = bytes(data)
+    if len(data) == 0:
+        from ..encode.api import _encode_empty
+
+        return [_encode_empty()]
+    state = _encode_start(data, chunk_size, hash_stride, sample_stride)
+    _encode_mid(state, lgwin, interpret)
+    return _encode_finish(state)
+
+
+def _encode_mid(state: dict, lgwin: int, interpret: bool) -> None:
+    """Fetch record samples, build shared tables + headers on the host,
+    then dispatch the Pallas pack kernel and the compaction sort."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    data = state["data"]
+    chunk_size = state["chunk_size"]
+    n_chunks = state["n_chunks"]
+    n_valid_np = state["n_valid_np"]
+    rec0, rec1 = state["rec0"], state["rec1"]
 
     # ---- host: sampled histograms -> shared tables -> headers ----
-    rec0_sample = np.asarray(rec0[:, ::sample_stride])
-    n_rec_np = np.asarray(n_rec)
+    rec0_sample = np.asarray(state["rec0_sample_dev"])
     lit, cmd, dist = _build_tables_from_samples(rec0_sample)
     tab_np = _pack_symbol_table(lit, cmd, dist)
 
@@ -865,7 +894,26 @@ def encode_device_batch(
         (keys, jax.lax.bitcast_convert_type(words, jnp.int32)),
         dimension=0, num_keys=1,
     )
-    status_np = np.asarray(status)
+    state.update(
+        swords=swords, status=status, head_words=head_words,
+        head_bits_np=head_bits_np, init0_np=init0_np, initav_np=initav_np,
+        lgwin=lgwin,
+    )
+
+
+def _encode_finish(state: dict) -> list[bytes]:
+    """Fetch packed words + status and assemble the final byte streams."""
+    data = state["data"]
+    chunk_size = state["chunk_size"]
+    n_chunks = state["n_chunks"]
+    head_words = state["head_words"]
+    head_bits_np = state["head_bits_np"]
+    init0_np = state["init0_np"]
+    initav_np = state["initav_np"]
+    swords = state["swords"]
+    lgwin = state["lgwin"]
+
+    status_np = np.asarray(state["status"])
     widx_np = status_np[0].reshape(-1).astype(np.int64)
     avail_np = status_np[1].astype(np.int32).reshape(-1)
     tail_words = status_np[2:5].reshape(3, -1)  # b0, b1, b2 final partials

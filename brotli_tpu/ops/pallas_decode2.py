@@ -720,9 +720,40 @@ def preflight_shared(streams: list[bytes], D: int = 64,
 DEFAULT_D = 64
 DEFAULT_BLOCK_ROWS = 32
 
+# Host-fallback observability: lanes that exit the kernel with phase != DONE
+# (row budget exceeded, stall starvation, or stream error) silently degrade
+# to per-stream host decode — a large perf cliff that must be visible.
+_FALLBACK_STATS = {"batches": 0, "lanes_total": 0, "lanes_fallback": 0}
+
+
+def fallback_stats() -> dict:
+    """Counters of v2-kernel lanes that degraded to host decode."""
+    return dict(_FALLBACK_STATS)
+
+
+def _note_fallbacks(n_lanes: int, n_fallback: int) -> None:
+    _FALLBACK_STATS["batches"] += 1
+    _FALLBACK_STATS["lanes_total"] += n_lanes
+    _FALLBACK_STATS["lanes_fallback"] += n_fallback
+    if n_fallback:
+        import logging
+
+        logging.getLogger("brotli_tpu").warning(
+            "v2 decode: %d/%d lanes fell back to host decode "
+            "(row budget or stream error)", n_fallback, n_lanes,
+        )
+
 
 def plan_blocks(batch: SharedBatch, block_rows: int = DEFAULT_BLOCK_ROWS,
                 row_budget_factor: float = 1.15) -> int:
+    """Kernel row budget.
+
+    The worst case per stream is bounded by rows-per-output-byte < 1 for
+    literals (>=1 byte/row) plus up to ~5 rows per copy command (CMD,
+    INS_EX, CP_EX, DIST, DIST2) with copy_len >= 2, plus refill stalls.
+    1.15*mlen + 1024 covers the measured corpus with >2x margin; lanes that
+    exceed it exit with phase != DONE and are counted by fallback_stats().
+    """
     max_mlen = int(batch.mlens.max())
     rows = int(row_budget_factor * max_mlen) + 1024
     return -(-rows // block_rows)
@@ -824,9 +855,12 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
     out, lens = lz_resolve_batch_v2(tokens.reshape(tokens.shape[0], -1),
                                     expected, n_threads)
     results: list[bytes] = []
+    n_fallback = 0
     for i in range(batch.n_streams):
         if flat_phases[i] != DONE or lens[i] != batch.mlens[i]:
+            n_fallback += 1
             results.append(host_decode(streams[i]))
         else:
             results.append(bytes(out[i, : lens[i]]))
+    _note_fallbacks(batch.n_streams, n_fallback)
     return results

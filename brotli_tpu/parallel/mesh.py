@@ -184,27 +184,47 @@ def encode_batches_multichip(
 ) -> list[bytes]:
     """Encode large inputs across mesh devices, one 32 MB batch per device.
 
-    Data parallel like decode_batches_multichip: each device runs the full
-    sort-based encode pipeline (ops/device_encode.py) on its own batch of
-    up to 1024 chunks; outputs reassemble in order.
+    Data parallel like decode_batches_multichip, with overlapped dispatch:
+    the encode pipeline (ops/device_encode.py) is driven in three phases —
+    (1) match/parse/record stages dispatched to every device before any
+    result is fetched, (2) host table build + pack-kernel dispatch per
+    device, (3) fetch + stream assembly — so all devices compute their
+    heavy stages concurrently instead of round-robin serially.
     """
     import jax
 
-    from ..ops.device_encode import B_LANES, encode_device_batch
+    from ..ops.device_encode import (
+        B_LANES,
+        _encode_finish,
+        _encode_mid,
+        _encode_start,
+    )
+    from ..encode.api import _encode_empty
 
     if mesh is None:
         mesh = get_mesh()
+    if len(data) == 0:
+        return [_encode_empty()]
     devices = list(mesh.devices.reshape(-1))
     batch_bytes = B_LANES * chunk_size
-    out: list[bytes] = []
-    for bi, off in enumerate(range(0, len(data), batch_bytes)):
-        piece = data[off : off + batch_bytes]
+    pieces = [
+        bytes(data[off : off + batch_bytes])
+        for off in range(0, len(data), batch_bytes)
+    ]
+
+    # phase 1: dispatch the XLA stages on every device (async)
+    states = []
+    for bi, piece in enumerate(pieces):
         dev = devices[bi % len(devices)]
         with jax.default_device(dev):
-            out.extend(
-                encode_device_batch(
-                    piece, chunk_size=chunk_size,
-                    hash_stride=hash_stride, interpret=interpret,
-                )
-            )
+            states.append((dev, _encode_start(piece, chunk_size, hash_stride, 256)))
+    # phase 2: host tables + pack dispatch (fetches each device's sample,
+    # which only waits on that device; pack kernels again run concurrently)
+    for dev, state in states:
+        with jax.default_device(dev):
+            _encode_mid(state, 22, interpret)
+    # phase 3: ordered fetch + assembly
+    out: list[bytes] = []
+    for dev, state in states:
+        out.extend(_encode_finish(state))
     return out

@@ -22,6 +22,10 @@ from dataclasses import dataclass
 def welch_t_test(a: list[float], b: list[float]) -> tuple[float, float]:
     """Welch's unequal-variance t-test; returns (t, dof)."""
     na, nb = len(a), len(b)
+    if na < 2 or nb < 2:
+        raise ValueError(
+            f"welch_t_test needs >=2 samples per side (got {na}, {nb})"
+        )
     ma = sum(a) / na
     mb = sum(b) / nb
     va = sum((x - ma) ** 2 for x in a) / (na - 1)
@@ -48,10 +52,21 @@ class Comparison:
 def compare_timings(a: list[float], b: list[float],
                     t_critical: float = 2.0) -> Comparison:
     """Compare two timing samples; significant when |t| > t_critical
-    (~alpha 0.05 for reasonable sample sizes, as the reference uses)."""
-    t, dof = welch_t_test(a, b)
+    (~alpha 0.05 for reasonable sample sizes, as the reference uses).
+
+    Samples too small for a t-test (n < 2) report means only, never
+    significance."""
+    if not a or not b:
+        raise ValueError("compare_timings needs non-empty samples")
     ma = sum(a) / len(a)
     mb = sum(b) / len(b)
+    if len(a) < 2 or len(b) < 2:
+        return Comparison(
+            mean_a=ma, mean_b=mb,
+            speedup=ma / mb if mb else float("inf"),
+            t_stat=float("nan"), dof=0.0, significant=False,
+        )
+    t, dof = welch_t_test(a, b)
     return Comparison(
         mean_a=ma, mean_b=mb,
         speedup=ma / mb if mb else float("inf"),

@@ -47,10 +47,30 @@ def test_roundtrip_all_qualities(quality):
         assert decode(enc) == data, f"q{quality} len={len(data)}"
 
 
-@pytest.mark.parametrize("quality", [1, 5, 11])
+# 18 sizes x 2 patterns x all 12 qualities, mirroring the reference's fuzz
+# envelope (brotli.test.ts:247-281). The HQ qualities (10/11) cap at 2 KB in
+# the default run — python Zopfli on every size would dominate suite time —
+# with the full sizes covered by the slow variant below.
+_FUZZ_SIZES = [1, 2, 3, 4, 5, 7, 8, 15, 16, 31, 63, 64,
+               127, 255, 256, 1000, 4095, 8192]
+
+
+@pytest.mark.parametrize("quality", list(range(12)))
 def test_roundtrip_sizes_fuzz(quality):
-    sizes = [1, 2, 3, 4, 5, 7, 8, 15, 16, 63, 64, 127, 256, 1000, 4095, 8192]
-    for size in sizes:
+    cap = 2048 if quality >= 10 else 10**9
+    for size in _FUZZ_SIZES:
+        if size > cap:
+            continue
+        for maker, tag in [(_random_bytes, "rnd"), (_ramp_bytes, "ramp")]:
+            data = maker(size)
+            enc = encode(data, quality=quality)
+            assert decode(enc) == data, f"q{quality} {tag} {size}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("quality", [10, 11])
+def test_roundtrip_sizes_fuzz_hq_large(quality):
+    for size in [4095, 8192]:
         for maker, tag in [(_random_bytes, "rnd"), (_ramp_bytes, "ramp")]:
             data = maker(size)
             enc = encode(data, quality=quality)
@@ -92,3 +112,30 @@ def test_compression_shrinks_text():
     data = ALICE[:40000]
     for q in (1, 5, 9, 11):
         assert len(encode(data, quality=q)) < len(data) * 0.6
+
+
+def test_encode_sharded_concat_roundtrip():
+    """encode_sharded_concat: one spliced stream, any standard decoder.
+
+    Covers the cross-chunk distance-ring sentinel and the empty-metadata
+    splice (ADVICE round 1): repetitive data makes every non-final chunk end
+    in a copy, so the next chunk starts with the previous chunk's ring
+    state poisoned by the sentinel.
+    """
+    from brotli_tpu import encode_sharded_concat
+
+    rep = (b"abcdefgh" * 200)[:1500]  # chunk ends mid-repetition => copy
+    cases = [
+        ALICE[:5000],           # text, 5 chunks
+        rep + ALICE[:2000],     # copy crossing chunk boundary
+        b"\x00" * 4000,         # byte-run copies to every chunk end
+        ALICE[:1024],           # exactly one chunk
+        ALICE[:1025],           # chunk + 1-byte tail
+    ]
+    for data in cases:
+        stream = encode_sharded_concat(data, chunk_size=1024)
+        assert decode(stream) == data, f"len={len(data)}"
+        # python golden engine too (independent of the native fast path)
+        from brotli_tpu.decode.engine import decode as py_decode
+
+        assert py_decode(stream) == data
