@@ -30,13 +30,18 @@ def create_backward_references(
     use_dictionary: bool = False,
     real_max_backward: int | None = None,
     out_offset: int = 0,
+    max_match_distance: int | None = None,
 ) -> tuple[list[Command], int, int]:
     """Returns (commands, num_literals, trailing_insert_len).
 
     With use_dictionary, positions without an LZ match probe the static
     dictionary (encode/static_dict.py); real_max_backward must then be the
     decoder's window clamp (1<<lgwin)-16 so emitted distances land in the
-    dictionary address space."""
+    dictionary address space.
+
+    max_match_distance caps LZ match distances below the format window —
+    used by the sharded TPU layout so every emitted distance fits the
+    device resolve kernel's VMEM history ring (ops/pallas_resolve.py)."""
     commands: list[Command] = []
     num_literals = 0
     insert_len = last_insert_len
@@ -53,6 +58,8 @@ def create_backward_references(
             pos += max_len
             break
         max_backward = min(pos, GREEDY_MAX_WINDOW)
+        if max_match_distance is not None:
+            max_backward = min(max_backward, max_match_distance)
         result.reset()
         hasher.find_longest_match(
             data, mask, dist_cache, pos, min(max_len, 128), max_backward, result

@@ -48,7 +48,8 @@ class SharedTables:
 
 
 def _chunk_commands(
-    chunk: bytes, quality: int, npostfix: int, ndirect: int, first: bool = True
+    chunk: bytes, quality: int, npostfix: int, ndirect: int, first: bool = True,
+    max_distance: int | None = None,
 ):
     padded = chunk + b"\x00" * 8
     hasher = SimpleHasher(quality)
@@ -58,7 +59,7 @@ def _chunk_commands(
     dist_cache = [4, 11, 15, 16] if first else [-(1 << 30)] * 4
     commands, _, last_insert = create_backward_references(
         len(chunk), 0, padded, _NO_MASK, hasher, dist_cache, 0,
-        quality, npostfix, ndirect,
+        quality, npostfix, ndirect, max_match_distance=max_distance,
     )
     if last_insert > 0:
         from .api import _merge_trailing_literals
@@ -159,6 +160,7 @@ def encode_sharded(
     chunk_size: int = 32768,
     quality: int = 1,
     lgwin: int | None = None,
+    max_distance: int | None = None,
 ) -> list[bytes]:
     """Encode `data` as independent same-table chunk streams.
 
@@ -166,6 +168,10 @@ def encode_sharded(
     bit-identical Huffman tree declarations (decode-side table sharing).
     Any standard Brotli decoder round-trips each chunk; our device decoder
     decodes the whole list in lockstep.
+
+    max_distance caps match distances (still standard RFC 7932 output);
+    pass ops.pallas_resolve.MAX_DEVICE_DISTANCE to keep every stream
+    resolvable by the on-device LZ kernel's VMEM history window.
     """
     data = bytes(data)
     params = make_params(quality, lgwin, None, min(len(data), chunk_size))
@@ -175,7 +181,8 @@ def encode_sharded(
         return [_encode_empty()]
     chunks = [data[i : i + chunk_size] for i in range(0, len(data), chunk_size)]
     commands = [
-        _chunk_commands(c, params.quality, params.dist.npostfix, params.dist.ndirect)
+        _chunk_commands(c, params.quality, params.dist.npostfix,
+                        params.dist.ndirect, max_distance=max_distance)
         for c in chunks
     ]
     tables = build_shared_tables(

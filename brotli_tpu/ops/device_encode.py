@@ -108,11 +108,17 @@ def _ilog2(x):
 # stage 1-4: match finding (XLA)
 # ---------------------------------------------------------------------------
 
-def find_matches(data_u8, n_valid, hash_stride: int = 1):
+def find_matches(data_u8, n_valid, hash_stride: int = 1,
+                 max_distance: int | None = None):
     """data_u8 (B, N+MATCH_CAP+4) u8 device array; n_valid (B,) int32.
 
     hash_stride: 1 = hash every position (best ratio); 2 = hash every other
     position (halves the dominant sort, ~10% worse ratio).
+
+    max_distance caps match distances so the streams stay resolvable by the
+    on-device LZ kernel's history window (pallas_resolve.MAX_DEVICE_DISTANCE);
+    sorted-order candidates are the NEAREST previous occurrences, so the
+    ratio cost of the cap is small on typical data.
 
     Returns (mlen, mdist) int32 (B, N): best match (len >= 4) per position,
     len 0 where none."""
@@ -177,6 +183,8 @@ def find_matches(data_u8, n_valid, hash_stride: int = 1):
             done = done | has_diff
         dist = spos - cpos
         ok = same & (cpos >= 0) & (mlen >= 4)
+        if max_distance is not None:
+            ok = ok & (dist <= max_distance)
         return jnp.where(ok, mlen, 0), jnp.where(ok, dist, 0)
 
     l1, d1 = neighbor(1)
@@ -486,11 +494,12 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=16)
-def _jitted_stages(hash_stride: int):
+def _jitted_stages(hash_stride: int, max_distance: int | None = None):
     import jax
 
     return jax.jit(
-        _functools.partial(_device_stages, hash_stride=hash_stride)
+        _functools.partial(_device_stages, hash_stride=hash_stride,
+                           max_distance=max_distance)
     )
 
 
@@ -752,9 +761,10 @@ class DeviceEncodeResult:
     device_seconds: float | None = None
 
 
-def _device_stages(data_arr, n_valid, hash_stride: int = 1):
+def _device_stages(data_arr, n_valid, hash_stride: int = 1,
+                   max_distance: int | None = None):
     """All XLA stages fused under one jit: records ready for packing."""
-    mlen, mdist = find_matches(data_arr, n_valid, hash_stride)
+    mlen, mdist = find_matches(data_arr, n_valid, hash_stride, max_distance)
     is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid)
     rec0, rec1, n_rec = build_records(
         data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid
@@ -763,7 +773,7 @@ def _device_stages(data_arr, n_valid, hash_stride: int = 1):
 
 
 def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
-                  sample_stride: int):
+                  sample_stride: int, max_distance: int | None = None):
     """Host prep + dispatch of the XLA match/parse/record stages.
 
     Returns a state dict; the device work is in flight when this returns
@@ -794,7 +804,7 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
     data_arr = jnp.asarray(data_np)
     n_valid = jnp.asarray(n_valid_np)
 
-    stages = _jitted_stages(hash_stride)
+    stages = _jitted_stages(hash_stride, max_distance)
     rec0, rec1, n_rec = stages(data_arr, n_valid)
     rec0_sample_dev = rec0[:, ::sample_stride]  # stays async
     return dict(
@@ -812,6 +822,7 @@ def encode_device_batch(
     interpret: bool = False,
     sample_stride: int = 256,
     hash_stride: int = 1,
+    max_distance: int | None = None,
 ) -> list[bytes]:
     """Encode `data` on the TPU as B<=1024 same-table chunk streams."""
     data = bytes(data)
@@ -819,7 +830,8 @@ def encode_device_batch(
         from ..encode.api import _encode_empty
 
         return [_encode_empty()]
-    state = _encode_start(data, chunk_size, hash_stride, sample_stride)
+    state = _encode_start(data, chunk_size, hash_stride, sample_stride,
+                          max_distance)
     _encode_mid(state, lgwin, interpret)
     return _encode_finish(state)
 

@@ -864,3 +864,87 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
             results.append(bytes(out[i, : lens[i]]))
     _note_fallbacks(batch.n_streams, n_fallback)
     return results
+
+
+def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
+                  D: int = DEFAULT_D, block_rows: int = DEFAULT_BLOCK_ROWS,
+                  interpret: bool = False, row_budget: int | None = None,
+                  token_row_cap: int | None = None):
+    """Entropy kernel + device LZ resolve, tokens never leaving the device.
+
+    Returns (resolved (G, R_out+8, 8, 128) u32 DEVICE array, n_out_rows,
+    phases (host), n_blocks).  The decoded bytes live in HBM — this is the
+    end-to-end decode path whose output the bench times (VERDICT item 1).
+
+    token_row_cap bounds the VMEM-resident token slice handed to the
+    resolve kernel (see resolve_tokens_device's residency constraint);
+    streams whose tokens exceed the cap degrade to flagged lanes, so the
+    caller's fallback keeps correctness.  Suited to chunk sizes <= ~2-4 KB;
+    the fused decode3 kernel covers larger chunks.
+    """
+    import jax.numpy as jnp
+
+    from .pallas_resolve import DEFAULT_H, resolve_tokens_device
+
+    n_blocks = plan_blocks(batch, block_rows)
+    kernel = get_kernel(
+        batch.Wpad, D, block_rows, n_blocks,
+        batch.npostfix, batch.ndirect, batch.maxbw, interpret,
+        lit_k=batch.lit_k, cmd_k=batch.cmd_k, dist_k=batch.dist_k,
+        dx_k=batch.dx_k, groups=batch.groups,
+    )
+    out = kernel(
+        jnp.asarray(batch.wt), jnp.asarray(batch.lit_t),
+        jnp.asarray(batch.cmd_t), jnp.asarray(batch.dist_t),
+        jnp.asarray(batch.dx_t), jnp.asarray(batch.consts),
+        jnp.asarray(batch.scal),
+    )
+    rows = n_blocks * block_rows
+    r_cap = min(rows, token_row_cap) if token_row_cap else rows
+    tokens = out[:r_cap]                     # device slice
+    phases = np.asarray(out[rows]).reshape(-1)   # tiny host fetch
+    mlens = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
+    mlens[: batch.n_streams] = batch.mlens[: batch.n_streams]
+    resolved, n_out_rows = resolve_tokens_device(
+        tokens, mlens, H=H or DEFAULT_H, interpret=interpret,
+        row_budget=row_budget,
+    )
+    return resolved, n_out_rows, phases, n_blocks
+
+
+def decode_batch_device_e2e(streams: list[bytes], *, H: int | None = None,
+                            interpret: bool = False,
+                            groups: int | None = None,
+                            n_threads: int = 8,
+                            token_row_cap: int | None = None) -> list[bytes]:
+    """Full decode with BOTH phases on device (entropy + LZ resolve).
+
+    Streams must be shared-table (encode_sharded / device-encoder output)
+    with distances within the resolve window (max_distance); anything else
+    falls back per lane to the host pipeline, counted by fallback_stats().
+    """
+    from ..decode import decode as host_decode
+    from .pallas_resolve import unpack_resolved
+
+    if groups is None:
+        groups = min(MAX_GROUPS, -(-len(streams) // NSTREAM))
+    batch = preflight_shared(streams, groups=groups)
+    if batch is None:
+        return decode_batch_pallas2(streams, n_threads=n_threads,
+                                    interpret=interpret)
+    resolved, n_out_rows, phases, _ = run_batch_e2e(
+        batch, H=H, interpret=interpret, token_row_cap=token_row_cap
+    )
+    mlens = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
+    mlens[: batch.n_streams] = batch.mlens[: batch.n_streams]
+    outs, errs = unpack_resolved(np.asarray(resolved), n_out_rows, mlens)
+    results: list[bytes] = []
+    n_fallback = 0
+    for i in range(batch.n_streams):
+        if phases[i] != DONE or errs[i] != 0:
+            n_fallback += 1
+            results.append(host_decode(streams[i]))
+        else:
+            results.append(outs[i])
+    _note_fallbacks(batch.n_streams, n_fallback)
+    return results
