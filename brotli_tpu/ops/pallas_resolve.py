@@ -10,33 +10,38 @@ whole decode path (compressed bits -> decoded bytes) device-resident.
 Architecture (TPU-native; the reference's byte loop engine.ts:1378-1433 is a
 scalar-CPU design with no analog here):
 
-* **Uniform output rows.**  All 1024 streams of a group advance in lockstep
-  through OUTPUT byte space: row r emits bytes 4r..4r+3 of every stream as
-  one u32 vreg.  Writes therefore use a *scalar* ring index (cheap); only
-  READS (copy sources) are per-lane dynamic.
 * **History ring + one-hot sweep.**  The last H bytes of every stream live
-  in VMEM as (V=H/4, 8, 128) u32, lane = stream.  A per-lane read of words
-  w0,w0+1 is a single sweep over the V ring vregs with one compare and two
-  selects per vreg (the compare for w0+1 reuses the previous iteration's
-  compare for w0) — the measured-cheapest per-lane gather on this hardware
-  (XLA gather: ~0.07 G elem/s; tpu.dynamic_gather: lane-shared tables only).
-* **Global stall rows.**  A row commits only when every live lane can fill
-  its word (literal FIFO + at most one active copy).  Lanes that cannot
-  (copy->copy transitions, token-pad runs) force a stall row in which all
-  lanes still PREFETCH (token pops), so the next row usually commits.
-* **Sliding token window.**  Entropy-kernel token rows stream through a
-  (DT, 8, 128) VMEM window by async DMA, exactly like the decode kernel's
-  bitstream window; up to POPS_PER_ROW tokens are consumed per lane per row
-  (pad tokens from entropy stall rows are skipped by the same pops).
-* **Copies with dist < 4** replicate from bytes assembled earlier in the
-  same row (the doubling trick in byte form); dist in [4, H-8] reads the
-  ring; dist > H-8 flags the lane (host fallback).  The device encoder
-  avoids far distances by construction (max_distance, ops/device_encode.py).
+  in VMEM as (V=H/4, 8, 128) u32, lane = stream, slot = absolute output
+  word index mod V.  A per-lane read of words w0,w0+1 is a single sweep
+  over the V ring vregs with one compare and two selects per vreg (the
+  compare for w0+1 reuses the previous iteration's compare for w0) — the
+  measured-cheapest per-lane gather on this hardware (XLA gather: ~0.07 G
+  elem/s; tpu.dynamic_gather: lane-shared tables only).  Writes are a
+  symmetric scatter sweep.
+* **Uniform token intake.**  The entropy kernel produced every lane's
+  token for shared row r in lockstep, so resolve re-reads that shared row
+  axis: one scalar-indexed read per row from a small (DT, 8, 128) sliding
+  VMEM window — O(1), where a per-lane row pointer would cost an O(window)
+  one-hot gather over an unbounded window (lanes consume token rows at
+  data-dependent rates).  Each lane parks its token in a K-deep register
+  FIFO until its byte stream reaches it; the shared row cursor advances
+  only when every still-buffering lane has space.
+* **Per-lane progress, ordered byte FIFO.**  Each lane independently pulls
+  buffered tokens (literals append to an 8-byte FIFO; copies drain into it
+  at up to 4 B/row from the ring) and emits one output word per row at its
+  own pace — no global emission barrier, so one lane's token starvation or
+  long copy drain can throttle but never wedge the others.  Output blocks
+  flush to HBM as the minimum live lane row passes them; the flush
+  frontier in turn caps how far ahead a lane may run (V - FLUSH rows).
+* **Copies with dist < 4** replicate from bytes appended earlier in the
+  same row / still in the FIFO; dist in [4, H-16] reads the ring;
+  dist > H-16 flags the lane (host fallback).  The device encoder avoids
+  far distances by construction (max_distance, ops/device_encode.py).
 
 Output layout: (G, R_out + 8, 8, 128) u32 — group-major so every DMA slice
-is contiguous.  Row R_out holds per-lane error flags, R_out+1 the emitted
-row count, R_out+2 the final token index.  Stream s of group g is the
-little-endian bytes of out[g, :, s//128, s%128], length mlens[g*1024+s].
+is contiguous.  Row R_out holds per-lane error flags, R_out+1 per-lane
+emitted rows, R_out+2 the final shared token row.  Stream s of group g is
+the little-endian bytes of out[g, :, s//128, s%128], length mlens[g*1024+s].
 """
 
 from __future__ import annotations
@@ -50,10 +55,12 @@ LANES = 128
 NSTREAM = SUB * LANES
 
 DEFAULT_H = 4096          # history window bytes per stream (V = H/4 vregs)
-MAX_DEVICE_DISTANCE = DEFAULT_H - 8   # encoder-side cap for device streams
-DEFAULT_DT = 32           # token window rows in VMEM
-POPS_PER_ROW = 3          # token pops per lane per row
+MAX_DEVICE_DISTANCE = DEFAULT_H - 16  # encoder-side cap for device streams
+DEFAULT_DT = 64           # token window rows in VMEM (uniform slide)
+KBUF = 8                  # per-lane token buffer depth (register FIFO)
+PULLS_PER_ROW = 2         # buffer-head consumptions per lane per row
 FLUSH = 32                # emitted rows per output DMA (must divide V)
+STAG_LIMIT = 64           # no-progress rows before declaring skew deadlock
 
 # lane error flags (bitmask in the status row)
 ERR_FAR_DIST = 1          # copy distance beyond the ring window
@@ -85,46 +92,51 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         dma0.wait()
 
         def ring_read2(w0):
-            """Per-lane ring words ((w0) % V, (w0+1) % V) via one-hot sweep."""
+            """Per-lane ring words ((w0) % V, (w0+1) % V) via one-hot sweep.
+
+            Manually 8x-unrolled fori (Mosaic supports only full/no unroll);
+            the w0+1 compare reuses the previous step's w0 compare."""
             q = jax.lax.rem(w0, V)
 
-            def body(v, carry):
-                a0, a1, m_prev = carry
-                m = q == v
-                a0 = jnp.where(m, ring[v], a0)
-                a1 = jnp.where(m_prev, ring[v], a1)
-                return a0, a1, m
+            def body(i, carry):
+                a0, a1, m_prev_i = carry   # carry as i32: Mosaic cannot
+                m_prev = m_prev_i > 0      # round-trip i1 loop carries
+                for k in range(8):
+                    v = 8 * i + k
+                    rv = ring[v]
+                    m = q == v
+                    a0 = jnp.where(m, rv, a0)
+                    a1 = jnp.where(m_prev, rv, a1)
+                    m_prev = m
+                return a0, a1, m_prev.astype(jnp.int32)
 
             a0, a1, _ = jax.lax.fori_loop(
-                0, V, body, (zeros_u, zeros_u, jnp.zeros(S, jnp.bool_)),
-                unroll=8,
+                0, V // 8, body, (zeros_u, zeros_u, zeros_i)
             )
             a1 = jnp.where(q == V - 1, ring[0], a1)
             return a0, a1
 
-        def tok_read(idx, filled):
-            """Per-lane token at row idx from the sliding window."""
-            ok = idx < filled
-            p_rel = jax.lax.rem(idx, DT)
-
-            def body(d, acc):
-                return jnp.where(p_rel == d, twin[d], acc)
-
-            acc = jax.lax.fori_loop(0, DT, body, zeros_u, unroll=8)
-            return jnp.where(ok, acc, jnp.uint32(0)), ok
-
         # One ordered byte FIFO per lane (lo|hi = 8 bytes, oldest in lo LSB):
-        # literal pops append to it, the active copy DRAINS into it every
+        # literal pulls append to it, the active copy DRAINS into it every
         # row (decoupled from global emission — this is what makes copy
         # tails < 4 bytes deadlock-free), emission takes 4 bytes from it.
         # `qp` = bytes ever queued; emitted boundary = qp - cnt = 4*r_out.
+        #
+        # Token intake is UNIFORM: the entropy kernel produced every lane's
+        # token for shared row r in lockstep, so resolve re-reads that shared
+        # row axis with a single scalar-indexed window access per row (O(1),
+        # not an O(window) per-lane gather) and parks each lane's token in a
+        # K-deep register FIFO (tbuf) until the lane's byte stream reaches
+        # it.  The window never needs to slide backward and r_pop only
+        # advances when every still-buffering lane has space.
         state0 = dict(
-            tok_idx=zeros_i,
             fifo_lo=zeros_u, fifo_hi=zeros_u, cnt=zeros_i,
-            qp=zeros_i,
+            qp=zeros_i, r_lane=zeros_i,
             cp_dist=zeros_i, cp_rem=zeros_i,
             pend_len=jnp.full(S, -1, jnp.int32),
             err=zeros_i,
+            tcnt=zeros_i,
+            **{f"tbuf{k}": zeros_u for k in range(KBUF)},
         )
         order = sorted(state0.keys())
 
@@ -189,69 +201,117 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             st["cp_rem"] = st["cp_rem"] - e
             return st
 
-        def pops(st, filled):
-            """Up to POPS_PER_ROW token pops per lane (always committed)."""
+        def pop_uniform(st, r_pop, filled):
+            """Buffer every lane's token from shared window row r_pop.
+
+            Returns (st, popped): popped is SCALAR — either all lanes take
+            row r_pop into their buffers (pads skipped for free) or none do
+            (some still-buffering lane is full, or the window is dry).
+            """
             st = dict(st)
-            for _ in range(POPS_PER_ROW):
-                t, ok = tok_read(st["tok_idx"], filled)
-                alive = ok & (st["err"] == 0)
-                is_pad = alive & (t == 0)        # pads skip even mid-copy
-                # order: the FIFO must hold only bytes that precede the
-                # active copy, so data pops wait for cp_rem == 0
-                can = alive & (st["cp_rem"] == 0) & (st["cnt"] <= 5)
-                tag = (t >> 30).astype(jnp.int32)
-                is_lit = can & (tag == 0) & (t != 0)
-                is_len = can & (tag == 1)
-                is_dist = can & (tag == 2)
-                is_fused = can & (tag == 3)
-
-                cnt_t = ((t >> 24) & 3).astype(jnp.int32)
-                payload = t & jnp.uint32(0xFFFFFF)
-                st2 = dict(st)
-                fifo_append(st2, payload, cnt_t)
-                for k2 in ("fifo_lo", "fifo_hi", "cnt", "qp"):
-                    st[k2] = jnp.where(is_lit, st2[k2], st[k2])
-
-                st["pend_len"] = jnp.where(
-                    is_len, (t & jnp.uint32(0xFFFFFF)).astype(jnp.int32),
-                    st["pend_len"],
+            buffering = (st["err"] == 0) & (st["qp"] < mlen)
+            # plain boolean algebra: a select over i1 vectors does not lower
+            can_pop = (
+                jnp.all(~buffering | (st["tcnt"] < KBUF))
+                & (r_pop < filled)
+                & (r_pop < R_tok)
+            )
+            t = twin[jax.lax.rem(r_pop, DT)]
+            take = can_pop & buffering & (t != 0)
+            for k in range(KBUF):
+                st[f"tbuf{k}"] = jnp.where(
+                    take & (st["tcnt"] == k), t, st[f"tbuf{k}"]
                 )
-                bad = is_dist & (st["pend_len"] < 0)
-                st["err"] = st["err"] | jnp.where(bad, ERR_MALFORMED, 0)
-                arm = is_dist & ~bad
-                st["cp_dist"] = jnp.where(
-                    arm, (t & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32),
-                    jnp.where(
-                        is_fused, (t & jnp.uint32(0x3FFFFF)).astype(jnp.int32),
-                        st["cp_dist"],
-                    ),
-                )
-                st["cp_rem"] = jnp.where(
-                    arm, st["pend_len"],
-                    jnp.where(
-                        is_fused, ((t >> 22) & 0xFF).astype(jnp.int32),
-                        st["cp_rem"],
-                    ),
-                )
-                st["pend_len"] = jnp.where(arm, -1, st["pend_len"])
+            st["tcnt"] = st["tcnt"] + take.astype(jnp.int32)
+            return st, can_pop
 
-                consumed = is_pad | is_lit | is_len | is_dist | is_fused
-                st["tok_idx"] = st["tok_idx"] + consumed.astype(jnp.int32)
+        def pull(st):
+            """Consume the buffer head when the lane's byte stream needs it:
+            literals append to the byte FIFO (order: only when no copy is
+            active), copy tokens arm cp_dist/cp_rem."""
+            st = dict(st)
+            t = st[f"tbuf0"]
+            can = (
+                (st["tcnt"] > 0) & (st["cp_rem"] == 0)
+                & (st["err"] == 0) & (st["qp"] < mlen)
+            )
+            tag = (t >> 30).astype(jnp.int32)
+            is_lit = can & (tag == 0) & (st["cnt"] <= 5)
+            is_len = can & (tag == 1)
+            is_dist = can & (tag == 2)
+            is_fused = can & (tag == 3)
+
+            cnt_t = ((t >> 24) & 3).astype(jnp.int32)
+            payload = t & jnp.uint32(0xFFFFFF)
+            st2 = dict(st)
+            fifo_append(st2, payload, cnt_t)
+            for k2 in ("fifo_lo", "fifo_hi", "cnt", "qp"):
+                st[k2] = jnp.where(is_lit, st2[k2], st[k2])
+
+            st["pend_len"] = jnp.where(
+                is_len, (t & jnp.uint32(0xFFFFFF)).astype(jnp.int32),
+                st["pend_len"],
+            )
+            bad = is_dist & (st["pend_len"] < 0)
+            st["err"] = st["err"] | jnp.where(bad, ERR_MALFORMED, 0)
+            arm = is_dist & ~bad
+            st["cp_dist"] = jnp.where(
+                arm, (t & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32),
+                jnp.where(
+                    is_fused, (t & jnp.uint32(0x3FFFFF)).astype(jnp.int32),
+                    st["cp_dist"],
+                ),
+            )
+            st["cp_rem"] = jnp.where(
+                arm, st["pend_len"],
+                jnp.where(
+                    is_fused, ((t >> 22) & 0xFF).astype(jnp.int32),
+                    st["cp_rem"],
+                ),
+            )
+            st["pend_len"] = jnp.where(arm, -1, st["pend_len"])
+
+            pulled = is_lit | is_len | is_dist | is_fused
+            for k in range(KBUF - 1):
+                st[f"tbuf{k}"] = jnp.where(
+                    pulled, st[f"tbuf{k + 1}"], st[f"tbuf{k}"]
+                )
+            st["tcnt"] = st["tcnt"] - pulled.astype(jnp.int32)
             return st
 
-        def row_work(st, r_out):
-            """Emission decision for row r_out: word = FIFO low 4 bytes."""
-            P0 = 4 * r_out
+        def emit(st, flush_base):
+            """Per-lane emission: write the FIFO's low word to the lane's
+            own ring row (scatter sweep) and advance its row counter.
+
+            Per-lane (not lockstep) so no lane's starvation can wedge
+            another's progress; the flush frontier caps how far ahead a
+            lane may run (ring slots must stay flushable)."""
+            st = dict(st)
+            P0 = 4 * st["r_lane"]
             done = (st["err"] != 0) | (P0 >= mlen)
             need = jnp.clip(mlen - P0, 0, 4)
-            can_emit = done | (st["cnt"] >= need)
-            word = st["fifo_lo"]
-            new = dict(
-                fifo_lo=st["fifo_hi"],
-                fifo_hi=zeros_u,
-                cnt=jnp.maximum(st["cnt"] - 4, 0),
+            can = (
+                ~done & (st["cnt"] >= need)
+                & (st["r_lane"] < flush_base + (V - FLUSH))
             )
-            return word, can_emit, done, new
+            word = st["fifo_lo"]
+            # fold the emit mask into the integer query (-1 matches no slot):
+            # capturing an i1 vector in the loop region trips Mosaic's i8/i1
+            # round-trip, an i32 does not.
+            q = jnp.where(can, jax.lax.rem(st["r_lane"], V), -1)
+
+            def wbody(i, _):
+                for k in range(8):
+                    v = 8 * i + k
+                    ring[v] = jnp.where(q == v, word, ring[v])
+                return 0
+
+            jax.lax.fori_loop(0, V // 8, wbody, 0)
+            st["fifo_lo"] = jnp.where(can, st["fifo_hi"], st["fifo_lo"])
+            st["fifo_hi"] = jnp.where(can, zeros_u, st["fifo_hi"])
+            st["cnt"] = jnp.where(can, jnp.maximum(st["cnt"] - 4, 0), st["cnt"])
+            st["r_lane"] = st["r_lane"] + can.astype(jnp.int32)
+            return st
 
         def to_tuple(st):
             return tuple(st[k] for k in order)
@@ -260,15 +320,18 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             return dict(zip(order, t))
 
         def body(carry):
-            row, r_out, filled, stall_run, st_t = carry
+            row, flush_base, r_pop, filled, stag, st_t = carry
             st = to_dict(st_t)
-
-            # ---- token window advance ----
-            active = (st["err"] == 0) & (4 * r_out < mlen)
-            min_tok = jnp.min(
-                jnp.where(active, st["tok_idx"], jnp.int32(1 << 30))
+            min_r_prev = jnp.min(
+                jnp.where(
+                    (st["err"] == 0) & (4 * st["r_lane"] < mlen),
+                    st["r_lane"], jnp.int32(1 << 30),
+                )
             )
-            do_refill = (min_tok >= filled - HALF_DT) & (filled + HALF_DT <= R_tok)
+            r_pop_prev = r_pop
+
+            # ---- token window advance (uniform: driven by scalar r_pop) ----
+            do_refill = (r_pop >= filled - HALF_DT) & (filled + HALF_DT <= R_tok)
 
             @pl.when(do_refill)
             def _():
@@ -284,79 +347,94 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             filled = jnp.where(do_refill, filled + HALF_DT, filled)
 
             st = drain(st)
-            st = pops(st, filled)
-            word, can_emit, done, new = row_work(st, r_out)
-            live = ~done
-            emit = jnp.all(jnp.where(live, can_emit, True))
+            st, popped = pop_uniform(st, r_pop, filled)
+            r_pop = r_pop + popped.astype(jnp.int32)
+            for _ in range(PULLS_PER_ROW):
+                st = pull(st)
+            st = emit(st, flush_base)
 
-            # starvation: a stall run longer than any legitimate prep phase
-            # means some lane can never fill — flag it so decode falls back.
-            stall_run = jnp.where(emit, 0, stall_run + 1)
-            starved = stall_run > DT + 8 * POPS_PER_ROW
-            st["err"] = st["err"] | jnp.where(
-                starved & live & ~can_emit, ERR_STARVED, 0
+            # token supply is finite: a lane still short of bytes with dry
+            # buffers once the window is exhausted can never complete.
+            dry = (
+                (st["err"] == 0) & (st["qp"] < mlen)
+                & (st["tcnt"] == 0) & (st["cp_rem"] == 0)
+                & (r_pop >= R_tok)
+            )
+            st["err"] = st["err"] | jnp.where(dry, ERR_STARVED, 0)
+
+            # ---- flush: one FLUSH-aligned block per row once every live
+            # lane has emitted past it (done/err lanes do not hold it up) --
+            live = (st["err"] == 0) & (4 * st["r_lane"] < mlen)
+            min_r = jnp.min(
+                jnp.where(live, st["r_lane"], jnp.int32(1 << 30))
             )
 
-            @pl.when(emit)
+            @pl.when(flush_base + FLUSH <= min_r)
             def _():
-                ring[jax.lax.rem(r_out, V)] = word
-
-            commit = emit & live
-            for k2 in ("fifo_lo", "fifo_hi", "cnt"):
-                st[k2] = jnp.where(commit, new[k2], st[k2])
-
-            r_next = r_out + jnp.where(emit, 1, 0)
-
-            @pl.when(emit & (jax.lax.rem(r_next, FLUSH) == 0))
-            def _():
-                start = r_next - FLUSH
                 dma = pltpu.make_async_copy(
-                    ring.at[pl.ds(jax.lax.rem(start, V), FLUSH)],
-                    out_ref.at[g, pl.ds(start, FLUSH)],
+                    ring.at[pl.ds(jax.lax.rem(flush_base, V), FLUSH)],
+                    out_ref.at[g, pl.ds(flush_base, FLUSH)],
                     sem_out,
                 )
                 dma.start()
                 dma.wait()
 
-            return row + 1, r_next, filled, stall_run, to_tuple(st)
+            flush_base = jnp.where(
+                flush_base + FLUSH <= min_r, flush_base + FLUSH, flush_base
+            )
+
+            # global-stagnation detector: if neither the token cursor nor
+            # the slowest live lane advanced for STAG_LIMIT rows, the batch
+            # skew exceeded the ring headroom (V - FLUSH rows) and the
+            # remaining lanes can only deadlock — flag them and exit so the
+            # caller's host fallback takes over (never a hang).
+            stuck = (min_r == min_r_prev) & (r_pop == r_pop_prev)
+            stag = jnp.where(stuck, stag + 1, 0)
+            st["err"] = st["err"] | jnp.where(
+                (stag > STAG_LIMIT)
+                & (st["err"] == 0) & (4 * st["r_lane"] < mlen),
+                ERR_STARVED, 0,
+            )
+            return row + 1, flush_base, r_pop, filled, stag, to_tuple(st)
 
         def cond(carry):
-            row, r_out, filled, stall_run, st_t = carry
+            row, flush_base, r_pop, filled, stag, st_t = carry
             st = to_dict(st_t)
-            alive = jnp.any((st["err"] == 0) & (4 * r_out < mlen))
-            return (row < row_budget) & (r_out < n_out_rows) & alive
+            alive = jnp.any((st["err"] == 0) & (4 * st["r_lane"] < mlen))
+            return (row < row_budget) & alive
 
-        row, r_out, filled, stall_run, st_t = jax.lax.while_loop(
+        row, flush_base, r_pop, filled, stag, st_t = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.int32(0), jnp.int32(DT),
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(DT),
              jnp.int32(0), to_tuple(state0)),
         )
         st = to_dict(st_t)
 
-        # lanes that did not reach mlen (row budget exhausted, window
-        # starvation) are truncated — they MUST carry an error flag or the
-        # caller would accept zero-padded output as decoded bytes.
-        short = (st["err"] == 0) & (4 * r_out < mlen)
+        # lanes that did not reach mlen (row budget exhausted) are truncated
+        # — they MUST carry an error flag or the caller would accept
+        # zero-padded output as decoded bytes.
+        short = (st["err"] == 0) & (4 * st["r_lane"] < mlen)
         st["err"] = st["err"] | jnp.where(short, ERR_STARVED, 0)
 
-        # ---- final partial flush (r_out not FLUSH-aligned) ----
-        part = jax.lax.rem(r_out, FLUSH)
+        # ---- flush every remaining block (err/done lanes' tails) ----
+        n_left = (n_out_rows - flush_base) // FLUSH
 
-        @pl.when(part > 0)
-        def _():
-            start = r_out - part
+        def fbody(i, fb):
             dma = pltpu.make_async_copy(
-                ring.at[pl.ds(jax.lax.rem(start, V), FLUSH)],
-                out_ref.at[g, pl.ds(start, FLUSH)],
+                ring.at[pl.ds(jax.lax.rem(fb, V), FLUSH)],
+                out_ref.at[g, pl.ds(fb, FLUSH)],
                 sem_out,
             )
             dma.start()
             dma.wait()
+            return fb + FLUSH
+
+        flush_base = jax.lax.fori_loop(0, n_left, fbody, flush_base)
 
         # ---- status tail ----
         ring[0] = st["err"].astype(jnp.uint32)
-        ring[1] = jnp.zeros(S, jnp.uint32) + r_out.astype(jnp.uint32)
-        ring[2] = st["tok_idx"].astype(jnp.uint32)
+        ring[1] = st["r_lane"].astype(jnp.uint32)
+        ring[2] = jnp.zeros(S, jnp.uint32) + r_pop.astype(jnp.uint32)
         for k in range(3, 8):
             ring[k] = jnp.zeros(S, jnp.uint32)
         dma_tail = pltpu.make_async_copy(
@@ -419,18 +497,9 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
 
     `mlens` has G*1024 entries (decoded size per stream, 0 for pad lanes).
     Returns (out device array (G, R_out+8, 8, 128) u32, n_out_rows).
-
-    **Token residency constraint.**  Lanes consume token rows at different
-    rates relative to their (lockstep) output position, so a small sliding
-    window can deadlock: a lane mid-copy pins the window's minimum while
-    another lane has exhausted it.  With DT >= R the whole token array is
-    VMEM-resident and the window never slides — the default (DT=None) does
-    exactly that.  A smaller DT is only safe when the inter-lane divergence
-    of token-row consumption is known to stay under DT/2 (tiny streams,
-    single-lane tests); truncated lanes are flagged ERR_STARVED either way,
-    so a wrong DT degrades to host fallback, never to silent corruption.
-    The fused decode3 kernel removes this constraint by resolving inside
-    the entropy pass.
+    Truncated/malformed/too-far lanes carry error flags in the status row;
+    a degraded configuration falls back to host decode, never to silent
+    corruption.
     """
     import jax.numpy as jnp
 
@@ -438,10 +507,10 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
     G = GS // SUB
     V = H // 4
     if DT is None:
-        DT = R
+        DT = DEFAULT_DT
     mlens = np.asarray(mlens, dtype=np.int64).reshape(-1)
     assert mlens.size == G * NSTREAM
-    assert R >= DT, f"token rows {R} < window {DT}"
+    assert R >= DT, f"token rows {R} < window {DT} (pad the token array)"
     max_mlen = int(mlens.max()) if mlens.size else 0
     n_out_rows = max(FLUSH, _round_up(-(-max_mlen // 4), FLUSH))
     tokens_g = jnp.transpose(
