@@ -1,22 +1,26 @@
-"""Benchmark: v2 lockstep shared-table decode throughput on the real TPU.
+"""Benchmark: end-to-end decode, device encode, and scaling proxy (real TPU).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints one JSON line per metric:
+  e2e_decode_throughput_1chip   — compressed bits -> decoded BYTES IN HBM
+                                  (entropy kernel + on-device LZ resolve;
+                                  nothing host-side in the timed region)
+  entropy_decode_throughput_1chip — the token phase alone (round-1 metric,
+                                  kept for continuity)
+  device_encode_throughput_1chip — device encode stages (sort/parse/pack),
+                                  with the achieved compression ratio
+  decode_dispatch_overlap        — async multi-batch dispatch efficiency on
+                                  one chip (scaling proxy; real multi-chip
+                                  paths are validated by dryrun_multichip)
 
-Baseline: the reference's single-core JS decode throughput, ~0.15 GB/s
-(BASELINE.md: noto-tc 7 MB in 47 ms on M2 Max).
+Baselines: the reference's single-core JS decode ~0.15 GB/s (BASELINE.md,
+noto-tc 7 MB / 47 ms on M2 Max) and q11 encode ~15 MB/s.
 
-Methodology:
-  * Timed: the v2 Pallas kernel (GROUPS x 1024 streams x 32 KB, real
-    mixed text+binary fixture data; the 1024-stream batch is replicated
-    across groups to keep host-side prep fast — each group still decodes
-    its full compressed input) run REP times inside one jit; the axon
-    tunnel's ~33 ms per-invocation round-trip is measured on a trivial op
-    and subtracted once.  Output tokens stay in HBM; a tiny checksum
-    forces completion.
-  * Untimed correctness gate: a smaller batch (1024 x 2 KB, tokens are
-    cheap to pull through the ~1 MB/s axon tunnel) runs the FULL pipeline
-    (kernel + native LZ resolve) and must match the input bit-exactly.
+Methodology (CLAUDE.md measurement discipline): REP invocations inside one
+jit, a scalar fetch forces completion, and the axon tunnel's per-invocation
+round-trip is measured on a trivial op and subtracted; Pallas kernels are
+side-effecting so they cannot be hoisted out of the repeat loop
+(perturb=False).  An untimed correctness gate runs the FULL pipeline on a
+small batch and must reproduce the input bit-exactly with zero fallbacks.
 """
 
 from __future__ import annotations
@@ -26,10 +30,18 @@ import time
 
 import numpy as np
 
-BASELINE_GBPS = 0.15  # reference decode, M2 Max single core
-CHUNK = 32768
-REP = 4
-GROUPS = 8   # independent 1024-stream groups interleaved per kernel launch
+BASELINE_DECODE_GBPS = 0.15   # reference decode, M2 Max single core
+BASELINE_ENCODE_MBPS = 15.0   # reference q11 encode, M2 Max single core
+
+# e2e decode configuration (see PARITY.md "device decode" for tuning notes)
+E2E_CHUNK = 8192
+E2E_H = 4096
+E2E_GROUPS = 1
+ENT_CHUNK = 32768
+ENT_GROUPS = 8
+ENC_CHUNK = 32768
+ENC_DEPTH = 4
+REP = 3
 
 FIXTURES = (
     "/root/reference/test/fixtures/vectors/alice29.txt",
@@ -39,11 +51,11 @@ FIXTURES = (
 )
 
 
-def _base_data() -> bytes:
-    base = b""
-    for f in FIXTURES:
-        base += open(f, "rb").read()
-    return base
+def _emit(metric, value, unit, vs_baseline, **extra):
+    line = {"metric": metric, "value": round(value, 1), "unit": unit,
+            "vs_baseline": round(vs_baseline, 4)}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
 
 
 def main() -> None:
@@ -51,20 +63,28 @@ def main() -> None:
     import jax.numpy as jnp
 
     from brotli_tpu.encode.sharded import encode_sharded
-    import brotli_tpu.ops.pallas_decode2 as P2
+    from brotli_tpu.ops import device_encode as DE
+    from brotli_tpu.ops import pallas_decode2 as P2
+    from brotli_tpu.ops import pallas_resolve as PR
+    from brotli_tpu.utils import time_device_fn
 
-    base = _base_data()
+    base = b"".join(open(f, "rb").read() for f in FIXTURES)
 
-    # ---- correctness gate (untimed): full pipeline on a small batch ----
-    small = (base * 2)[: 1024 * 2048]
-    small_streams = encode_sharded(small, chunk_size=2048)
-    got = P2.decode_batch_pallas2(small_streams)
+    # ---- correctness gate (untimed): full e2e pipeline, bit-exact ----
+    small = (base * 2)[: 256 * 2048]
+    small_streams = encode_sharded(small, chunk_size=2048,
+                                   max_distance=E2E_H - 16)
+    got = P2.decode_batch_device_e2e(small_streams, H=E2E_H)
     assert b"".join(got) == small, "bench correctness gate failed"
+    assert P2.fallback_stats()["lanes_fallback"] == 0, "gate lanes fell back"
 
-    # ---- timed: big batch, kernel only, RTT-calibrated ----
-    data = (base * 32)[: 1024 * CHUNK]
-    streams = encode_sharded(data, chunk_size=CHUNK) * GROUPS
-    batch = P2.preflight_shared(streams, groups=GROUPS)
+    rtt = None
+
+    # ---- metric 1: end-to-end decode (entropy + resolve, bytes in HBM) ----
+    data = (base * 64)[: 1024 * E2E_CHUNK * E2E_GROUPS]
+    streams = encode_sharded(data, chunk_size=E2E_CHUNK,
+                             max_distance=E2E_H - 16)
+    batch = P2.preflight_shared(streams, groups=E2E_GROUPS)
     assert batch is not None
     n_blocks = P2.plan_blocks(batch)
     kernel = P2.get_kernel(
@@ -73,33 +93,118 @@ def main() -> None:
         lit_k=batch.lit_k, cmd_k=batch.cmd_k, dist_k=batch.dist_k,
         dx_k=batch.dx_k, groups=batch.groups,
     )
-    args = [
-        jnp.asarray(x)
-        for x in (batch.wt, batch.lit_t, batch.cmd_t, batch.dist_t,
-                  batch.dx_t, batch.consts, batch.scal)
-    ]
+    rows = n_blocks * P2.DEFAULT_BLOCK_ROWS
+    mlens = np.zeros(P2.NSTREAM * E2E_GROUPS, np.int64)
+    mlens[: batch.n_streams] = batch.mlens[: batch.n_streams]
+    max_mlen = int(mlens.max())
+    n_out = max(PR.FLUSH, -(-(-(-max_mlen // 4)) // PR.FLUSH) * PR.FLUSH)
+    rkernel = PR.get_resolve_kernel(rows, n_out, E2E_H // 4, PR.DEFAULT_DT,
+                                    E2E_GROUPS, None, False)
+    scal_j = jnp.asarray(mlens.astype(np.int32).reshape(E2E_GROUPS * 8, 128))
+    args = [jnp.asarray(x) for x in (batch.wt, batch.lit_t, batch.cmd_t,
+                                     batch.dist_t, batch.dx_t, batch.consts,
+                                     batch.scal)]
 
-    from brotli_tpu.utils import time_device_fn
+    def e2e(*a):
+        out = kernel(*a)
+        toks = jnp.transpose(
+            out[:rows].reshape(rows, E2E_GROUPS, 8, 128), (1, 0, 2, 3)
+        )
+        res = rkernel(toks, scal_j)
+        return res[0, 0, 0, :8].astype(jnp.int32)
 
-    # the kernel is side-effecting (pallas DMA) so it cannot be hoisted out
-    # of the repeat loop; perturbation would corrupt the compressed input
-    per_decode = time_device_fn(
-        lambda *a: kernel(*a)[:8].astype(jnp.int32), *args, rep=REP, samples=3,
+    t_e2e = time_device_fn(e2e, *args, rep=REP, samples=3, perturb=False)
+    total = int(mlens.sum())
+    # untimed flag check: the timed batch itself must fully resolve
+    out = kernel(*args)
+    toks = jnp.transpose(out[:rows].reshape(rows, E2E_GROUPS, 8, 128),
+                         (1, 0, 2, 3))
+    errs = np.asarray(rkernel(toks, scal_j)[:, n_out]).reshape(-1)
+    n_err = int((errs[: batch.n_streams] != 0).sum())
+    gbps = total / t_e2e / 1e9
+    _emit("e2e_decode_throughput_1chip", gbps * 1000, "MB/s",
+          gbps / BASELINE_DECODE_GBPS, err_lanes=n_err,
+          batch_mb=round(total / 1e6, 1))
+
+    # ---- metric 2: entropy phase alone (round-1 continuity) ----
+    data2 = (base * 64)[: 1024 * ENT_CHUNK]
+    streams2 = encode_sharded(data2, chunk_size=ENT_CHUNK) * ENT_GROUPS
+    b2 = P2.preflight_shared(streams2, groups=ENT_GROUPS)
+    nb2 = P2.plan_blocks(b2)
+    k2 = P2.get_kernel(
+        b2.Wpad, P2.DEFAULT_D, P2.DEFAULT_BLOCK_ROWS, nb2,
+        b2.npostfix, b2.ndirect, b2.maxbw, False,
+        lit_k=b2.lit_k, cmd_k=b2.cmd_k, dist_k=b2.dist_k,
+        dx_k=b2.dx_k, groups=b2.groups,
+    )
+    args2 = [jnp.asarray(x) for x in (b2.wt, b2.lit_t, b2.cmd_t, b2.dist_t,
+                                      b2.dx_t, b2.consts, b2.scal)]
+    t_ent = time_device_fn(
+        lambda *a: k2(*a)[:8].astype(jnp.int32), *args2, rep=4, samples=3,
         perturb=False,
     )
-    total = int(batch.mlens.sum())
-    gbps = total / per_decode / 1e9
+    g2 = int(b2.mlens.sum()) / t_ent / 1e9
+    _emit("entropy_decode_throughput_1chip", g2 * 1000, "MB/s",
+          g2 / BASELINE_DECODE_GBPS)
 
-    print(
-        json.dumps(
-            {
-                "metric": "lockstep_decode_throughput_1chip",
-                "value": round(gbps * 1000, 1),
-                "unit": "MB/s",
-                "vs_baseline": round(gbps / BASELINE_GBPS, 4),
-            }
-        )
+    # ---- metric 3: device encode stages + achieved ratio ----
+    data3 = (base * 64)[: 1024 * ENC_CHUNK]
+    # ratio from a real encode (also correctness-gated via round-trip on a
+    # subset; full-batch decode would crawl through the dev tunnel)
+    t0 = time.time()
+    enc_streams = DE.encode_device_batch(
+        data3, chunk_size=ENC_CHUNK, max_distance=E2E_H - 16,
+        chain_depth=ENC_DEPTH,
     )
+    wall = time.time() - t0
+    ratio = sum(len(s) for s in enc_streams) / len(data3)
+    from brotli_tpu.decode import decode as host_decode
+
+    assert b"".join(host_decode(s) for s in enc_streams[:3]) \
+        == data3[: 3 * ENC_CHUNK], "encode gate failed"
+    # timed: the fused XLA stages (match find + parse + records), REP'd
+    stages = DE._jitted_stages(1, E2E_H - 16, ENC_DEPTH)
+    import jax.numpy as jnp2
+
+    pad = ENC_CHUNK * DE.B_LANES - len(data3)
+    arr = np.frombuffer(data3 + b"\x00" * pad, dtype=np.uint8).reshape(
+        DE.B_LANES, ENC_CHUNK
+    )
+    data_np = np.concatenate(
+        [arr, np.zeros((DE.B_LANES, DE.MATCH_CAP + 4), dtype=np.uint8)],
+        axis=1,
+    )
+    n_valid = np.full(DE.B_LANES, ENC_CHUNK, np.int32)
+    t_enc = time_device_fn(
+        lambda a, n: stages(a, n)[0][:, :2].astype(jnp2.int32).sum(axis=1)[:8],
+        jnp2.asarray(data_np), jnp2.asarray(n_valid),
+        rep=REP, samples=3, perturb=False,
+    )
+    mbps = len(data3) / t_enc / 1e6
+    _emit("device_encode_throughput_1chip", mbps, "MB/s",
+          mbps / BASELINE_ENCODE_MBPS, ratio=round(ratio, 4),
+          wall_s=round(wall, 1))
+
+    # ---- metric 4: dispatch-overlap scaling proxy (one chip) ----
+    # async-dispatch N kernels then sync, vs N synchronous runs: the ratio
+    # N*t1/tN measures how well independent per-device batches overlap —
+    # the single-host analog of the data-parallel scale-out path.
+    def one(*a):
+        return k2(*a)[:8].astype(jnp.int32)
+
+    jitted = jax.jit(one)
+    int(jitted(*args2)[0, 0])  # warm
+    t0 = time.time()
+    outs = [jitted(*args2) for _ in range(4)]
+    for o in outs:
+        int(o[0, 0])
+    t_async = time.time() - t0
+    t0 = time.time()
+    for _ in range(4):
+        int(jitted(*args2)[0, 0])
+    t_sync = time.time() - t0
+    _emit("decode_dispatch_overlap", t_sync / t_async, "x",
+          (t_sync / t_async) / 4.0, n=4)
 
 
 if __name__ == "__main__":

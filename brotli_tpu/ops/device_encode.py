@@ -109,7 +109,7 @@ def _ilog2(x):
 # ---------------------------------------------------------------------------
 
 def find_matches(data_u8, n_valid, hash_stride: int = 1,
-                 max_distance: int | None = None):
+                 max_distance: int | None = None, chain_depth: int = 2):
     """data_u8 (B, N+MATCH_CAP+4) u8 device array; n_valid (B,) int32.
 
     hash_stride: 1 = hash every position (best ratio); 2 = hash every other
@@ -187,11 +187,14 @@ def find_matches(data_u8, n_valid, hash_stride: int = 1,
             ok = ok & (dist <= max_distance)
         return jnp.where(ok, mlen, 0), jnp.where(ok, dist, 0)
 
-    l1, d1 = neighbor(1)
-    l2, d2 = neighbor(2)
-    better2 = (l2 > l1) | ((l2 == l1) & (d2 < d1) & (l2 > 0))
-    slen = jnp.where(better2, l2, l1)
-    sdist = jnp.where(better2, d2, d1)
+    slen, sdist = neighbor(1)
+    for j in range(2, chain_depth + 1):
+        lj, dj = neighbor(j)
+        # longer wins; nearer wins ties (sorted adjacency makes j-th
+        # neighbor the j-th nearest, so ties keep the earlier candidate)
+        better = (lj > slen) | ((lj == slen) & (dj < sdist) & (lj > 0))
+        slen = jnp.where(better, lj, slen)
+        sdist = jnp.where(better, dj, sdist)
 
     # back to position order: key = spos (unique per lane), payload packed
     packed = (slen << 16) | sdist  # len<=16 (5b), dist<2^15
@@ -494,12 +497,14 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=16)
-def _jitted_stages(hash_stride: int, max_distance: int | None = None):
+def _jitted_stages(hash_stride: int, max_distance: int | None = None,
+                   chain_depth: int = 2):
     import jax
 
     return jax.jit(
         _functools.partial(_device_stages, hash_stride=hash_stride,
-                           max_distance=max_distance)
+                           max_distance=max_distance,
+                           chain_depth=chain_depth)
     )
 
 
@@ -762,9 +767,10 @@ class DeviceEncodeResult:
 
 
 def _device_stages(data_arr, n_valid, hash_stride: int = 1,
-                   max_distance: int | None = None):
+                   max_distance: int | None = None, chain_depth: int = 2):
     """All XLA stages fused under one jit: records ready for packing."""
-    mlen, mdist = find_matches(data_arr, n_valid, hash_stride, max_distance)
+    mlen, mdist = find_matches(data_arr, n_valid, hash_stride, max_distance,
+                               chain_depth)
     is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid)
     rec0, rec1, n_rec = build_records(
         data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid
@@ -773,7 +779,8 @@ def _device_stages(data_arr, n_valid, hash_stride: int = 1,
 
 
 def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
-                  sample_stride: int, max_distance: int | None = None):
+                  sample_stride: int, max_distance: int | None = None,
+                  chain_depth: int = 2):
     """Host prep + dispatch of the XLA match/parse/record stages.
 
     Returns a state dict; the device work is in flight when this returns
@@ -804,7 +811,7 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
     data_arr = jnp.asarray(data_np)
     n_valid = jnp.asarray(n_valid_np)
 
-    stages = _jitted_stages(hash_stride, max_distance)
+    stages = _jitted_stages(hash_stride, max_distance, chain_depth)
     rec0, rec1, n_rec = stages(data_arr, n_valid)
     rec0_sample_dev = rec0[:, ::sample_stride]  # stays async
     return dict(
@@ -823,6 +830,7 @@ def encode_device_batch(
     sample_stride: int = 256,
     hash_stride: int = 1,
     max_distance: int | None = None,
+    chain_depth: int = 2,
 ) -> list[bytes]:
     """Encode `data` on the TPU as B<=1024 same-table chunk streams."""
     data = bytes(data)
@@ -831,7 +839,7 @@ def encode_device_batch(
 
         return [_encode_empty()]
     state = _encode_start(data, chunk_size, hash_stride, sample_stride,
-                          max_distance)
+                          max_distance, chain_depth)
     _encode_mid(state, lgwin, interpret)
     return _encode_finish(state)
 

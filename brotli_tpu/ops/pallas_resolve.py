@@ -60,7 +60,7 @@ DEFAULT_DT = 64           # token window rows in VMEM (uniform slide)
 KBUF = 8                  # per-lane token buffer depth (register FIFO)
 PULLS_PER_ROW = 2         # buffer-head consumptions per lane per row
 FLUSH = 32                # emitted rows per output DMA (must divide V)
-STAG_LIMIT = 64           # no-progress rows before declaring skew deadlock
+STAG_LIMIT = 192          # no-progress rows before declaring skew deadlock
 
 # lane error flags (bitmask in the status row)
 ERR_FAR_DIST = 1          # copy distance beyond the ring window
@@ -322,12 +322,10 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         def body(carry):
             row, flush_base, r_pop, filled, stag, st_t = carry
             st = to_dict(st_t)
-            min_r_prev = jnp.min(
-                jnp.where(
-                    (st["err"] == 0) & (4 * st["r_lane"] < mlen),
-                    st["r_lane"], jnp.int32(1 << 30),
-                )
-            )
+            # progress = any lane emitting anywhere + the token cursor; a
+            # frozen MIN row alone is normal while one lane drains a long
+            # copy and the rest wait for tokens, so sum, don't min.
+            tot_r_prev = jnp.sum(st["r_lane"])
             r_pop_prev = r_pop
 
             # ---- token window advance (uniform: driven by scalar r_pop) ----
@@ -384,11 +382,11 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             )
 
             # global-stagnation detector: if neither the token cursor nor
-            # the slowest live lane advanced for STAG_LIMIT rows, the batch
+            # ANY lane's emission advanced for STAG_LIMIT rows, the batch
             # skew exceeded the ring headroom (V - FLUSH rows) and the
             # remaining lanes can only deadlock — flag them and exit so the
             # caller's host fallback takes over (never a hang).
-            stuck = (min_r == min_r_prev) & (r_pop == r_pop_prev)
+            stuck = (jnp.sum(st["r_lane"]) == tot_r_prev) & (r_pop == r_pop_prev)
             stag = jnp.where(stuck, stag + 1, 0)
             st["err"] = st["err"] | jnp.where(
                 (stag > STAG_LIMIT)
