@@ -509,13 +509,13 @@ def _jitted_stages(hash_stride: int, max_distance: int | None = None,
 
 
 @_functools.lru_cache(maxsize=16)
-def _jitted_pack(n_blocks: int, interpret: bool):
+def _jitted_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
     import jax
 
-    return jax.jit(_build_pack(n_blocks, interpret))
+    return jax.jit(_build_pack(n_blocks, interpret, n_groups))
 
 
-def _build_pack(n_blocks: int, interpret: bool):
+def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -533,9 +533,13 @@ def _build_pack(n_blocks: int, interpret: bool):
             acc = jnp.where(hi == c, g, acc)
         return acc
 
-    def kernel(rec0_ref, rec1_ref, tab_ref, consts_ref, init0_ref, initav_ref,
+    def kernel(rec0_ref, rec1_ref, tab_ref, consts_ref, gbase_ref,
+               init0_ref, initav_ref,
                keys_ref, words_ref, status_ref, state):
         i = pl.program_id(0)
+        # per-lane table-group base: group g's combined symbol table starts
+        # at flat index g*TAB_K*128 (table clustering, mixed batches)
+        gbase = gbase_ref[:] * (TAB_K * 128)
 
         @pl.when(i == 0)
         def _():
@@ -558,10 +562,10 @@ def _build_pack(n_blocks: int, interpret: bool):
             is_dist = kind == K_DIST
             live = kind != K_PAD
 
-            tab_idx = code + jnp.where(
+            tab_idx = gbase + code + jnp.where(
                 is_cmd, CMD_TAB_OFF, jnp.where(is_dist, DIST_TAB_OFF, 0)
             )
-            ent = lookup(tab_ref, TAB_K, jnp.where(live, tab_idx, 0))
+            ent = lookup(tab_ref, TAB_K * n_groups, jnp.where(live, tab_idx, 0))
             sym_nb = jnp.where(live, ent >> 16, 0)
             sym_bits = (ent & 0xFFFF).astype(jnp.uint32)
 
@@ -639,7 +643,7 @@ def _build_pack(n_blocks: int, interpret: bool):
         for k in range(6, 8):
             status_ref[k] = jnp.zeros(S, jnp.uint32)
 
-    def runner(rec0, rec1, tab, consts, init0, initav):
+    def runner(rec0, rec1, tab, consts, gbase, init0, initav):
         grid = (n_blocks,)
         return pl.pallas_call(
             kernel,
@@ -654,7 +658,9 @@ def _build_pack(n_blocks: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TAB_K * 8, 128), lambda i: (0, 0),
+                pl.BlockSpec((n_groups * TAB_K * 8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -674,7 +680,7 @@ def _build_pack(n_blocks: int, interpret: bool):
             scratch_shapes=[pltpu.VMEM((7, 8, 128), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(rec0, rec1, tab, consts, init0, initav)
+        )(rec0, rec1, tab, consts, gbase, init0, initav)
 
     return runner
 
@@ -693,10 +699,18 @@ def _pack_consts() -> np.ndarray:
 DIST_ALPHABET = 16 + 0 + (48 << 0)  # npostfix=0, ndirect=0
 
 
-def _build_tables_from_samples(rec0_sample: np.ndarray):
-    """Sampled rec0 values -> (depths, bits) per class, +1 smoothing."""
+def _tables_from_hists(lit_hist, cmd_hist, dist_hist):
     from ..encode.entropy import build_huffman_code
 
+    return (
+        build_huffman_code(lit_hist, NUM_LITERAL_SYMBOLS),
+        build_huffman_code(cmd_hist, NUM_COMMAND_SYMBOLS),
+        build_huffman_code(dist_hist, DIST_ALPHABET),
+    )
+
+
+def _build_tables_from_samples(rec0_sample: np.ndarray):
+    """Sampled rec0 values -> (depths, bits) per class, +1 smoothing."""
     kinds = (rec0_sample >> 28) & 0xF
     codes = rec0_sample & 0x3FFF
     lit_hist = np.ones(NUM_LITERAL_SYMBOLS, np.int64)
@@ -705,11 +719,62 @@ def _build_tables_from_samples(rec0_sample: np.ndarray):
     np.add.at(lit_hist, codes[kinds == K_LIT] & 0xFF, 8)
     np.add.at(cmd_hist, np.clip(codes[kinds == K_CMD], 0, 703), 8)
     np.add.at(dist_hist, np.clip(codes[kinds == K_DIST], 0, DIST_ALPHABET - 1), 8)
-    return (
-        build_huffman_code(lit_hist, NUM_LITERAL_SYMBOLS),
-        build_huffman_code(cmd_hist, NUM_COMMAND_SYMBOLS),
-        build_huffman_code(dist_hist, DIST_ALPHABET),
-    )
+    return _tables_from_hists(lit_hist, cmd_hist, dist_hist)
+
+
+def _cluster_group_tables(rec0_sample: np.ndarray, n_groups: int,
+                          n_chunks: int):
+    """Cluster lanes by literal-histogram shape into <= n_groups table
+    groups; returns (group_of_lane (B,), [(lit, cmd, dist) per group]).
+
+    The analog of the reference's per-metablock histogram clustering
+    (cluster.ts:317-378) at batch granularity: mixed batches (text + font)
+    stop paying for one compromise table set.  Plain numpy k-means on
+    32-bin projected literal histograms — the host cost is microscopic
+    next to the device stages.
+    """
+    B = rec0_sample.shape[0]
+    kinds = (rec0_sample >> 28) & 0xF
+    codes = rec0_sample & 0x3FFF
+    feats = np.zeros((B, 32), np.float64)
+    for lane in range(min(B, n_chunks)):
+        lc = codes[lane][kinds[lane] == K_LIT] & 0xFF
+        if lc.size:
+            np.add.at(feats[lane], lc >> 3, 1.0)
+            feats[lane] /= lc.size
+    active = feats[:n_chunks]
+    # k-means with deterministic spread-out init
+    order = np.argsort(active.sum(axis=1))
+    centers = active[order[:: max(1, len(order) // n_groups)]][:n_groups]
+    if centers.shape[0] < n_groups:
+        n_groups = max(1, centers.shape[0])
+    group = np.zeros(B, np.int64)
+    for _ in range(8):
+        d = ((active[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        g = d.argmin(axis=1)
+        for j in range(n_groups):
+            if (g == j).any():
+                centers[j] = active[g == j].mean(axis=0)
+        group[:n_chunks] = g
+    # drop empty groups, renumber densely
+    used = sorted(set(group[:n_chunks].tolist()))
+    remap = {j: k for k, j in enumerate(used)}
+    group[:n_chunks] = [remap[int(j)] for j in group[:n_chunks]]
+    tables = []
+    for j in range(len(used)):
+        sel = np.zeros(B, bool)
+        sel[:n_chunks] = group[:n_chunks] == j
+        sample = rec0_sample[sel]
+        k2 = (sample >> 28) & 0xF
+        c2 = sample & 0x3FFF
+        lit_hist = np.ones(NUM_LITERAL_SYMBOLS, np.int64)
+        cmd_hist = np.ones(NUM_COMMAND_SYMBOLS, np.int64)
+        dist_hist = np.ones(DIST_ALPHABET, np.int64)
+        np.add.at(lit_hist, c2[k2 == K_LIT] & 0xFF, 8)
+        np.add.at(cmd_hist, np.clip(c2[k2 == K_CMD], 0, 703), 8)
+        np.add.at(dist_hist, np.clip(c2[k2 == K_DIST], 0, DIST_ALPHABET - 1), 8)
+        tables.append(_tables_from_hists(lit_hist, cmd_hist, dist_hist))
+    return group, tables
 
 
 def _header_bits(mlen: int, lgwin: int, lit, cmd, dist) -> "object":
@@ -831,8 +896,13 @@ def encode_device_batch(
     hash_stride: int = 1,
     max_distance: int | None = None,
     chain_depth: int = 2,
+    table_groups: int = 1,
 ) -> list[bytes]:
-    """Encode `data` on the TPU as B<=1024 same-table chunk streams."""
+    """Encode `data` on the TPU as B<=1024 chunk streams.
+
+    table_groups=1 gives batch-identical Huffman tables (fastest decode
+    path); >1 clusters lanes into that many table groups for better ratio
+    on mixed content (decoded via per-group tables, preflight_binned)."""
     data = bytes(data)
     if len(data) == 0:
         from ..encode.api import _encode_empty
@@ -840,13 +910,18 @@ def encode_device_batch(
         return [_encode_empty()]
     state = _encode_start(data, chunk_size, hash_stride, sample_stride,
                           max_distance, chain_depth)
-    _encode_mid(state, lgwin, interpret)
+    _encode_mid(state, lgwin, interpret, table_groups)
     return _encode_finish(state)
 
 
-def _encode_mid(state: dict, lgwin: int, interpret: bool) -> None:
+def _encode_mid(state: dict, lgwin: int, interpret: bool,
+                table_groups: int = 1) -> None:
     """Fetch record samples, build shared tables + headers on the host,
-    then dispatch the Pallas pack kernel and the compaction sort."""
+    then dispatch the Pallas pack kernel and the compaction sort.
+
+    table_groups > 1 clusters the batch's lanes into that many Huffman
+    table groups (per-lane group base in the pack kernel); the decode side
+    bins the resulting streams by table signature (preflight_binned)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -859,26 +934,41 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool) -> None:
 
     # ---- host: sampled histograms -> shared tables -> headers ----
     rec0_sample = np.asarray(state["rec0_sample_dev"])
-    lit, cmd, dist = _build_tables_from_samples(rec0_sample)
-    tab_np = _pack_symbol_table(lit, cmd, dist)
+    if table_groups > 1:
+        group_of, tables = _cluster_group_tables(
+            rec0_sample, table_groups, n_chunks
+        )
+    else:
+        group_of = np.zeros(B_LANES, np.int64)
+        tables = [_build_tables_from_samples(rec0_sample)]
+    tab_np = np.concatenate(
+        [_pack_symbol_table(*t) for t in tables]
+    )
+    # pad the table stack to the requested group count (static kernel shape)
+    if len(tables) < table_groups:
+        tab_np = np.concatenate(
+            [tab_np] + [tab_np[: TAB_K * 8]] * (table_groups - len(tables))
+        )
 
-    header_cache: dict[int, bytes] = {}
+    header_cache: dict[tuple, bytes] = {}
 
-    def header_for(mlen_val: int):
-        if mlen_val not in header_cache:
+    def header_for(mlen_val: int, grp: int):
+        key = (mlen_val, grp)
+        if key not in header_cache:
+            lit, cmd, dist = tables[grp]
             w = _header_bits(mlen_val, lgwin, lit, cmd, dist)
             total_bits = len(w.take_bytes()) * 8 + w.nbits
             # re-build to recover the bit-level tail (take_bytes drained it)
             w2 = _header_bits(mlen_val, lgwin, lit, cmd, dist)
-            header_cache[mlen_val] = (w2, total_bits)
-        return header_cache[mlen_val]
+            header_cache[key] = (w2, total_bits)
+        return header_cache[key]
 
     init0_np = np.zeros((8, 128), dtype=np.int32)
     initav_np = np.zeros((8, 128), dtype=np.int32)
     head_words: list[np.ndarray] = []
     head_bits_np = np.zeros(B_LANES, dtype=np.int64)
     for s in range(n_chunks):
-        w, total_bits = header_for(int(n_valid_np[s]))
+        w, total_bits = header_for(int(n_valid_np[s]), int(group_of[s]))
         raw = w.finish()  # byte-aligned; valid bits = total_bits
         full_words = total_bits // 32
         wordbuf = np.frombuffer(raw + b"\x00" * ((-len(raw)) % 4), dtype="<u4")
@@ -903,9 +993,11 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool) -> None:
 
     rec0_t = _to_sub_lanes(pad_r(rec0))
     rec1_t = _to_sub_lanes(pad_r(rec1))
-    pack = _jitted_pack(n_blocks, interpret)
+    gbase_np = group_of.astype(np.int32).reshape(8, 128)
+    pack = _jitted_pack(n_blocks, interpret, table_groups)
     keys, words, status = pack(
         rec0_t, rec1_t, jnp.asarray(tab_np), jnp.asarray(_pack_consts()),
+        jnp.asarray(gbase_np),
         jnp.asarray(init0_np), jnp.asarray(initav_np),
     )
 

@@ -123,16 +123,23 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
     skip_dist = bool(debug_stub & 32)
     skip_ex = bool(debug_stub & 64)
 
-    def lookup(tab_ref, k, idx):
-        """Shared-table per-element lookup: idx (8,128) in [0, k*128)."""
+    def lookup(tab_ref, k, idx, g=0):
+        """Shared-table per-element lookup: idx (8,128) in [0, k*128).
+
+        Tables are stacked per interleave group (group g's k chunks start at
+        chunk g*k), so every group can carry its OWN Huffman tables — the
+        binning path feeds batches of merely per-group-identical streams."""
         if skip_lookup:
             return idx * 3 + 1
         lo = idx & 127
         hi = idx >> 7
         acc = jnp.zeros(S, jnp.int32)
+        base = g * k
         for c in range(k):
-            g = jnp.take_along_axis(tab_ref[c * SUB:(c + 1) * SUB, :], lo, axis=1)
-            acc = jnp.where(hi == c, g, acc)
+            got = jnp.take_along_axis(
+                tab_ref[(base + c) * SUB:(base + c + 1) * SUB, :], lo, axis=1
+            )
+            acc = jnp.where(hi == c, got, acc)
         return acc
 
     def gather1(tab_ref, idx):
@@ -167,16 +174,29 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             )
             return r & width_mask
 
-        def read_symbol(tab_ref, k, v15):
+        def read_symbol(tab_ref, k, v15, g=0):
             root_idx = (v15 & 0xFF).astype(jnp.int32)
-            e0 = lookup(tab_ref, 2, root_idx)
+            # the root chunks are the group's first 2 chunks, so the root
+            # lookup must use the group's FULL chunk stride k for its base
+            lo = root_idx & 127
+            hi = root_idx >> 7
+            e0 = jnp.zeros(S, jnp.int32)
+            if not skip_lookup:
+                for c in range(2):
+                    got = jnp.take_along_axis(
+                        tab_ref[(g * k + c) * SUB:(g * k + c + 1) * SUB, :],
+                        lo, axis=1,
+                    )
+                    e0 = jnp.where(hi == c, got, e0)
+            else:
+                e0 = root_idx * 3 + 1
             bits0 = e0 >> 16
             need_sub = bits0 > 8
             sub_mask = (
                 (jnp.uint32(1) << jnp.clip(bits0, 0, 15).astype(jnp.uint32)) - 1
             )
             idx2 = root_idx + (e0 & 0xFFFF) + ((v15 & sub_mask) >> 8).astype(jnp.int32)
-            e1 = lookup(tab_ref, k, jnp.where(need_sub, idx2, 0))
+            e1 = lookup(tab_ref, k, jnp.where(need_sub, idx2, 0), g)
             sym = jnp.where(need_sub, e1 & 0xFFFF, e0 & 0xFFFF)
             nb = jnp.where(need_sub, (e1 >> 16) + 8, bits0)
             return sym, nb
@@ -257,7 +277,7 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             if not skip_cmd:
               m = run & (phase0 == CMD)
               v15 = pk(15)
-              sym, nb = read_symbol(cmd_ref, cmd_k, v15)
+              sym, nb = read_symbol(cmd_ref, cmd_k, v15, g)
               cell = sym >> 6
               range_idx = jnp.where(cell < 2, cell, cell - 2)
               ins_high = (0x29850 >> (2 * range_idx)) & 3
@@ -328,11 +348,11 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             if not skip_lit:
               m = run & (phase0 == LIT)
               v15 = pk(15)
-              sym0, nb0 = read_symbol(lit_ref, lit_k, v15)
+              sym0, nb0 = read_symbol(lit_ref, lit_k, v15, g)
               q = q + jnp.where(m, nb0, 0)
               have2 = m & (s["lit_rem"] >= 2) & (s["mbl"] >= 2)
               v15 = pk(15)
-              sym1, nb1 = read_symbol(lit_ref, lit_k, v15)
+              sym1, nb1 = read_symbol(lit_ref, lit_k, v15, g)
               q = q + jnp.where(have2, nb1, 0)
               # (a 3rd literal per row was tried: the extra lookup plus the
               # stall rows it induces cost more than the row savings)
@@ -357,7 +377,7 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
               is_imp = s["implicit"] == 1
               m_read = m & ~is_imp
               v15 = pk(15)
-              sym, nb = read_symbol(dist_ref, dist_k, v15)
+              sym, nb = read_symbol(dist_ref, dist_k, v15, g)
               q = q + jnp.where(m_read, nb, 0)
               dcode = jnp.where(m_read, sym, jnp.where(m, -1, s["dcode"]))
               s["dcode"] = dcode
@@ -634,11 +654,25 @@ class SharedBatch:
     cmd_k: int = CMD_K
     dist_k: int = DIST_K
     dx_k: int = DX_K
+    # perm[slot] = original stream index of lane slot (-1 = pad); identity
+    # when no reordering happened
+    perm: np.ndarray | None = None
 
 
 def preflight_shared(streams: list[bytes], D: int = 64,
-                     groups: int = 1) -> SharedBatch | None:
-    """Preflight a batch of <=1024*groups same-table streams."""
+                     groups: int = 1,
+                     rate_sort: bool = False) -> SharedBatch | None:
+    """Preflight a batch of <=1024*groups same-table streams.
+
+    rate_sort assigns streams to lane slots ordered by compression rate
+    (decoded bytes per compressed bit) — the dominant predictor of how many
+    kernel rows a lane needs per output byte.  The LZ-resolve kernel bounds
+    inter-lane output skew by its ring headroom (pallas_resolve.py), and
+    measured batches of mixed text+font 8-32 KB chunks exceed it unsorted;
+    sorting packs similar-rate lanes into the same interleave group, which
+    keeps per-group skew well inside the bound.  Results map back through
+    batch.perm.
+    """
     from .device_decode import preflight
 
     if not streams or len(streams) > NSTREAM * groups:
@@ -664,14 +698,23 @@ def preflight_shared(streams: list[bytes], D: int = 64,
     # rebase each stream's words to its command start word
     G = groups
     NT = NSTREAM * G
+    order = list(range(len(pres)))
+    if rate_sort:
+        rate = [
+            p.mlen / max(1, len(s)) for p, s in zip(pres, streams)
+        ]
+        order.sort(key=lambda i: rate[i])
+    perm = np.full(NT, -1, dtype=np.int64)
+    perm[: len(pres)] = order
     rebased = []
     start_bits = np.zeros(NT, dtype=np.int32)
     mlens = np.zeros(NT, dtype=np.int64)
-    for i, p in enumerate(pres):
+    for slot, i in enumerate(order):
+        p = pres[i]
         w0 = p.cmd_start_bit >> 5
         rebased.append(p.words[w0:])
-        start_bits[i] = p.cmd_start_bit & 31
-        mlens[i] = p.mlen
+        start_bits[slot] = p.cmd_start_bit & 31
+        mlens[slot] = p.mlen
     max_words = max(r.shape[0] for r in rebased)
     Wpad = _round_up(max_words, D) + D
     wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
@@ -698,11 +741,15 @@ def preflight_shared(streams: list[bytes], D: int = 64,
     lit_k = used_k(p0.lit_table, LIT_K)
     cmd_k = used_k(p0.cmd_table, CMD_K)
     dist_k = used_k(p0.dist_table, DIST_K)
+    # the kernel expects per-interleave-group table stacks; a fully shared
+    # batch just tiles the one set G times (240 KB of VMEM at G=12)
     return SharedBatch(
         wt=wt,
-        lit_t=_replicate(p0.lit_table[: lit_k * 128], lit_k),
-        cmd_t=_replicate(p0.cmd_table[: cmd_k * 128], cmd_k),
-        dist_t=_replicate(p0.dist_table[: dist_k * 128], dist_k),
+        lit_t=np.tile(_replicate(p0.lit_table[: lit_k * 128], lit_k), (G, 1)),
+        cmd_t=np.tile(_replicate(p0.cmd_table[: cmd_k * 128], cmd_k), (G, 1)),
+        dist_t=np.tile(
+            _replicate(p0.dist_table[: dist_k * 128], dist_k), (G, 1)
+        ),
         dx_t=_replicate(dx, DX_K),
         groups=G,
         lit_k=lit_k, cmd_k=cmd_k, dist_k=dist_k, dx_k=DX_K,
@@ -714,7 +761,118 @@ def preflight_shared(streams: list[bytes], D: int = 64,
         ndirect=p0.ndirect,
         maxbw=p0.max_backward,
         Wpad=Wpad,
+        perm=perm if rate_sort else None,
     )
+
+
+def preflight_binned(streams: list[bytes],
+                     max_groups: int | None = None):
+    """Bin arbitrary device-eligible streams by Huffman-table signature.
+
+    Each interleave group of the v2 kernel carries its own table set, so a
+    batch only needs PER-GROUP-identical tables: streams are bucketed by
+    the exact (lit, cmd, dist) table bytes (npostfix/ndirect/max_backward
+    must match batch-wide — they parameterize shared kernel constants).
+    Returns (batch, perm) where perm[slot] is the original stream index of
+    lane slot (slots g*1024+j in group-major order, -1 = pad lane), or
+    None when the streams don't fit the constraints.
+
+    Covers VERDICT round-1 item 4: mixed batches (several encode_sharded
+    outputs, differently-tuned shards) decode on the fast path instead of
+    degrading to the per-lane v1 kernel.
+    """
+    from .device_decode import preflight
+
+    if max_groups is None:
+        max_groups = MAX_GROUPS
+    if not streams:
+        return None
+    pres = []
+    for s in streams:
+        p = preflight(s)
+        if p is None:
+            return None
+        pres.append(p)
+    p0 = pres[0]
+    bins: dict[bytes, list[int]] = {}
+    for i, p in enumerate(pres):
+        if (p.npostfix != p0.npostfix or p.ndirect != p0.ndirect
+                or p.max_backward != p0.max_backward):
+            return None
+        sig = (p.lit_table.tobytes() + p.cmd_table.tobytes()
+               + p.dist_table.tobytes())
+        bins.setdefault(sig, []).append(i)
+    # each bin becomes ceil(len/1024) groups
+    n_groups = sum(-(-len(v) // NSTREAM) for v in bins.values())
+    if n_groups > max_groups:
+        return None
+
+    G = n_groups
+    rebased, start_bits, mlens = [], np.zeros(G * NSTREAM, np.int32), \
+        np.zeros(G * NSTREAM, np.int64)
+    perm = np.full(G * NSTREAM, -1, np.int64)
+    group_tabs = []
+    slot_base = 0
+    for sig, idxs in bins.items():
+        rep = pres[idxs[0]]
+        for off in range(0, len(idxs), NSTREAM):
+            part = idxs[off : off + NSTREAM]
+            group_tabs.append(rep)
+            for j, i in enumerate(part):
+                p = pres[i]
+                slot = slot_base + j
+                w0 = p.cmd_start_bit >> 5
+                rebased.append((slot, p.words[w0:]))
+                start_bits[slot] = p.cmd_start_bit & 31
+                mlens[slot] = p.mlen
+                perm[slot] = i
+            slot_base += NSTREAM
+
+    max_words = max(r.shape[0] for _, r in rebased)
+    D = 64
+    Wpad = _round_up(max_words, D) + D
+    wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
+    for slot, r in rebased:
+        g, rem = divmod(slot, NSTREAM)
+        wt[: r.shape[0], g * SUB + rem // LANES, rem % LANES] = r
+
+    def used_k(table, cap):
+        n = len(table)
+        while n > 1 and table[n - 1] == 0:
+            n -= 1
+        return max(2, min(cap, -(-n // 128)))
+
+    lit_k = max(used_k(t.lit_table, LIT_K) for t in group_tabs)
+    cmd_k = max(used_k(t.cmd_table, CMD_K) for t in group_tabs)
+    dist_k = max(used_k(t.dist_table, DIST_K) for t in group_tabs)
+    lit_t = np.concatenate(
+        [_replicate(t.lit_table[: lit_k * 128], lit_k) for t in group_tabs]
+    )
+    cmd_t = np.concatenate(
+        [_replicate(t.cmd_table[: cmd_k * 128], cmd_k) for t in group_tabs]
+    )
+    dist_t = np.concatenate(
+        [_replicate(t.dist_table[: dist_k * 128], dist_k) for t in group_tabs]
+    )
+    dx = (np.asarray(p0.dist_extra, np.int32) << 26) | np.asarray(
+        p0.dist_offset, np.int32
+    )
+    scal = np.zeros((2 * G * SUB, LANES), dtype=np.int32)
+    for g in range(G):
+        sb = start_bits[g * NSTREAM:(g + 1) * NSTREAM].reshape(SUB, LANES)
+        ml = mlens[g * NSTREAM:(g + 1) * NSTREAM].reshape(SUB, LANES)
+        scal[2 * g * SUB:(2 * g + 1) * SUB, :] = sb
+        scal[(2 * g + 1) * SUB:(2 * g + 2) * SUB, :] = ml.astype(np.int32)
+    batch = SharedBatch(
+        wt=wt, lit_t=lit_t, cmd_t=cmd_t, dist_t=dist_t,
+        dx_t=_replicate(dx, DX_K),
+        groups=G, lit_k=lit_k, cmd_k=cmd_k, dist_k=dist_k, dx_k=DX_K,
+        consts=_build_consts(), scal=scal, mlens=mlens,
+        n_streams=len(streams),
+        npostfix=p0.npostfix, ndirect=p0.ndirect, maxbw=p0.max_backward,
+        Wpad=Wpad, perm=perm,
+    )
+    return batch, perm
 
 
 DEFAULT_D = 64
@@ -842,7 +1000,14 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
 
     if groups is None:
         groups = min(MAX_GROUPS, -(-len(streams) // NSTREAM))
+    perm = None
     batch = preflight_shared(streams, D=D, groups=groups)
+    if batch is None:
+        # not batch-identical tables: bin by table signature, one kernel
+        # interleave group per bin (per-group table vregs)
+        binned = preflight_binned(streams)
+        if binned is not None:
+            batch, perm = binned
     if batch is None:
         from .pallas_decode import decode_batch_pallas
 
@@ -851,19 +1016,25 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
     tokens, phases = run_batch(batch, D=D, interpret=interpret)
     flat_phases = phases.reshape(-1)
     expected = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
-    expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
+    if perm is None:
+        expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
+    else:
+        expected[:] = batch.mlens
     out, lens = lz_resolve_batch_v2(tokens.reshape(tokens.shape[0], -1),
                                     expected, n_threads)
-    results: list[bytes] = []
+    results: list[bytes | None] = [None] * batch.n_streams
     n_fallback = 0
-    for i in range(batch.n_streams):
-        if flat_phases[i] != DONE or lens[i] != batch.mlens[i]:
+    for slot in range(NSTREAM * batch.groups):
+        i = slot if perm is None else int(perm[slot])
+        if i < 0 or i >= batch.n_streams:
+            continue
+        if flat_phases[slot] != DONE or lens[slot] != batch.mlens[slot]:
             n_fallback += 1
-            results.append(host_decode(streams[i]))
+            results[i] = host_decode(streams[i])
         else:
-            results.append(bytes(out[i, : lens[i]]))
+            results[i] = bytes(out[slot, : lens[slot]])
     _note_fallbacks(batch.n_streams, n_fallback)
-    return results
+    return results  # type: ignore[return-value]
 
 
 def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
@@ -903,10 +1074,8 @@ def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
     r_cap = min(rows, token_row_cap) if token_row_cap else rows
     tokens = out[:r_cap]                     # device slice
     phases = np.asarray(out[rows]).reshape(-1)   # tiny host fetch
-    mlens = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
-    mlens[: batch.n_streams] = batch.mlens[: batch.n_streams]
     resolved, n_out_rows = resolve_tokens_device(
-        tokens, mlens, H=H or DEFAULT_H, interpret=interpret,
+        tokens, batch.mlens, H=H or DEFAULT_H, interpret=interpret,
         row_budget=row_budget,
     )
     return resolved, n_out_rows, phases, n_blocks
@@ -928,23 +1097,26 @@ def decode_batch_device_e2e(streams: list[bytes], *, H: int | None = None,
 
     if groups is None:
         groups = min(MAX_GROUPS, -(-len(streams) // NSTREAM))
-    batch = preflight_shared(streams, groups=groups)
+    # rate-sorted slot assignment keeps per-group output skew inside the
+    # resolve kernel's ring headroom (see preflight_shared docstring)
+    batch = preflight_shared(streams, groups=groups, rate_sort=True)
     if batch is None:
         return decode_batch_pallas2(streams, n_threads=n_threads,
                                     interpret=interpret)
     resolved, n_out_rows, phases, _ = run_batch_e2e(
         batch, H=H, interpret=interpret, token_row_cap=token_row_cap
     )
-    mlens = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
-    mlens[: batch.n_streams] = batch.mlens[: batch.n_streams]
-    outs, errs = unpack_resolved(np.asarray(resolved), n_out_rows, mlens)
-    results: list[bytes] = []
+    outs, errs = unpack_resolved(np.asarray(resolved), n_out_rows, batch.mlens)
+    results: list[bytes | None] = [None] * batch.n_streams
     n_fallback = 0
-    for i in range(batch.n_streams):
-        if phases[i] != DONE or errs[i] != 0:
+    for slot in range(NSTREAM * batch.groups):
+        i = slot if batch.perm is None else int(batch.perm[slot])
+        if i < 0 or i >= batch.n_streams:
+            continue
+        if phases[slot] != DONE or errs[slot] != 0:
             n_fallback += 1
-            results.append(host_decode(streams[i]))
+            results[i] = host_decode(streams[i])
         else:
-            results.append(outs[i])
+            results[i] = outs[slot]
     _note_fallbacks(batch.n_streams, n_fallback)
-    return results
+    return results  # type: ignore[return-value]

@@ -40,11 +40,11 @@ print("correctness OK; fallbacks:", P2.fallback_stats(), flush=True)
 import jax
 import jax.numpy as jnp
 
-data = (base * 32)[: 1024 * chunk]
+data = (base * 64)[: 1024 * chunk * groups]
 t0 = time.time()
 streams = encode_sharded(data, chunk_size=chunk, max_distance=H - 16)
 print(f"encoded timed batch in {time.time()-t0:.1f}s", flush=True)
-batch = P2.preflight_shared(streams, groups=groups)
+batch = P2.preflight_shared(streams, groups=groups, rate_sort=True)
 assert batch is not None
 n_blocks = P2.plan_blocks(batch)
 kernel = P2.get_kernel(
@@ -54,8 +54,7 @@ kernel = P2.get_kernel(
     dx_k=batch.dx_k, groups=batch.groups,
 )
 rows = n_blocks * P2.DEFAULT_BLOCK_ROWS
-mlens = np.zeros(P2.NSTREAM * groups, np.int64)
-mlens[: batch.n_streams] = batch.mlens[: batch.n_streams]
+mlens = batch.mlens
 max_mlen = int(mlens.max())
 n_out_rows = max(PR.FLUSH, -(-(-(-max_mlen // 4)) // PR.FLUSH) * PR.FLUSH)
 rkernel = PR.get_resolve_kernel(rows, n_out_rows, H // 4, PR.DEFAULT_DT,
