@@ -86,8 +86,14 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         zeros_i = jnp.zeros(S, jnp.int32)
 
         mlen = scal_ref[pl.ds(g * SUB, SUB), :]
+        # flat row layouts (group-major): 4-D refs with a scalar group index
+        # in DMA slices are fragile under Mosaic at grid > 1
+        tok0 = g * R_tok
+        out0 = g * (n_out_rows + 8)
 
-        dma0 = pltpu.make_async_copy(tok_ref.at[g, pl.ds(0, DT)], twin, sem_in)
+        dma0 = pltpu.make_async_copy(
+            tok_ref.at[pl.ds(tok0, DT)], twin, sem_in
+        )
         dma0.start()
         dma0.wait()
 
@@ -335,7 +341,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             def _():
                 slot = jax.lax.rem(filled, DT)
                 dma = pltpu.make_async_copy(
-                    tok_ref.at[g, pl.ds(filled, HALF_DT)],
+                    tok_ref.at[pl.ds(tok0 + filled, HALF_DT)],
                     twin.at[pl.ds(slot, HALF_DT)],
                     sem_in,
                 )
@@ -371,7 +377,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             def _():
                 dma = pltpu.make_async_copy(
                     ring.at[pl.ds(jax.lax.rem(flush_base, V), FLUSH)],
-                    out_ref.at[g, pl.ds(flush_base, FLUSH)],
+                    out_ref.at[pl.ds(out0 + flush_base, FLUSH)],
                     sem_out,
                 )
                 dma.start()
@@ -420,7 +426,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         def fbody(i, fb):
             dma = pltpu.make_async_copy(
                 ring.at[pl.ds(jax.lax.rem(fb, V), FLUSH)],
-                out_ref.at[g, pl.ds(fb, FLUSH)],
+                out_ref.at[pl.ds(out0 + fb, FLUSH)],
                 sem_out,
             )
             dma.start()
@@ -437,7 +443,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             ring[k] = jnp.zeros(S, jnp.uint32)
         dma_tail = pltpu.make_async_copy(
             ring.at[pl.ds(0, 8)],
-            out_ref.at[g, pl.ds(n_out_rows, 8)],
+            out_ref.at[pl.ds(out0 + n_out_rows, 8)],
             sem_out,
         )
         dma_tail.start()
@@ -450,7 +456,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             kernel,
             grid=(groups,),
             out_shape=jax.ShapeDtypeStruct(
-                (groups, n_out_rows + 8, SUB, LANES), jnp.uint32
+                (groups * (n_out_rows + 8), SUB, LANES), jnp.uint32
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # tokens (G,R,8,128)
@@ -513,13 +519,14 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
     n_out_rows = max(FLUSH, _round_up(-(-max_mlen // 4), FLUSH))
     tokens_g = jnp.transpose(
         jnp.asarray(tokens).reshape(R, G, SUB, LANES), (1, 0, 2, 3)
-    )
+    ).reshape(G * R, SUB, LANES)
     scal = mlens.astype(np.int32).reshape(G * SUB, LANES)
     kernel = get_resolve_kernel(
         R, n_out_rows, V, DT, G, row_budget, interpret
     )
     out = kernel(tokens_g, jnp.asarray(scal))
-    return out, n_out_rows
+    # free reshape back to the group-major 4-D view callers index
+    return out.reshape(G, n_out_rows + 8, SUB, LANES), n_out_rows
 
 
 def unpack_resolved(out_np: np.ndarray, n_out_rows: int,
