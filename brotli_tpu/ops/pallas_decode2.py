@@ -814,6 +814,9 @@ def preflight_binned(streams: list[bytes],
     group_tabs = []
     slot_base = 0
     for sig, idxs in bins.items():
+        # rate-sort within the bin: groups get similar-rate lanes (output
+        # skew stays inside the resolve kernel's ring headroom)
+        idxs.sort(key=lambda i: pres[i].mlen / max(1, len(streams[i])))
         rep = pres[idxs[0]]
         for off in range(0, len(idxs), NSTREAM):
             part = idxs[off : off + NSTREAM]
@@ -1100,6 +1103,10 @@ def decode_batch_device_e2e(streams: list[bytes], *, H: int | None = None,
     # rate-sorted slot assignment keeps per-group output skew inside the
     # resolve kernel's ring headroom (see preflight_shared docstring)
     batch = preflight_shared(streams, groups=groups, rate_sort=True)
+    if batch is None:
+        binned = preflight_binned(streams)
+        if binned is not None:
+            batch = binned[0]
     if batch is None:
         return decode_batch_pallas2(streams, n_threads=n_threads,
                                     interpret=interpret)
