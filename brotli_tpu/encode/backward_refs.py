@@ -31,6 +31,7 @@ def create_backward_references(
     real_max_backward: int | None = None,
     out_offset: int = 0,
     max_match_distance: int | None = None,
+    max_window: int | None = None,
 ) -> tuple[list[Command], int, int]:
     """Returns (commands, num_literals, trailing_insert_len).
 
@@ -41,7 +42,11 @@ def create_backward_references(
 
     max_match_distance caps LZ match distances below the format window —
     used by the sharded TPU layout so every emitted distance fits the
-    device resolve kernel's VMEM history ring (ops/pallas_resolve.py)."""
+    device resolve kernel's VMEM history ring (ops/pallas_resolve.py).
+
+    max_window overrides the reference's lgwin-independent (1<<22)-16 quirk
+    (backward-references.ts:31) — the lgwin-honoring mode SURVEY section 5
+    requires (pass (1<<lgwin)-16)."""
     commands: list[Command] = []
     num_literals = 0
     insert_len = last_insert_len
@@ -57,7 +62,9 @@ def create_backward_references(
             insert_len += max_len
             pos += max_len
             break
-        max_backward = min(pos, GREEDY_MAX_WINDOW)
+        max_backward = min(
+            pos, GREEDY_MAX_WINDOW if max_window is None else max_window
+        )
         if max_match_distance is not None:
             max_backward = min(max_backward, max_match_distance)
         result.reset()

@@ -110,7 +110,8 @@ class StartPosQueue:
         return self.q[(k - self.idx) & 7]
 
 
-def _compute_distance_shortcut(block_start, pos, nodes) -> int:
+def _compute_distance_shortcut(block_start, pos, nodes,
+                               max_window=MAX_BACKWARD_LIMIT) -> int:
     if pos == 0:
         return 0
     node = nodes[pos]
@@ -119,7 +120,7 @@ def _compute_distance_shortcut(block_start, pos, nodes) -> int:
     dist = node.distance
     if (
         dist + clen <= block_start + pos
-        and dist <= MAX_BACKWARD_LIMIT
+        and dist <= max_window
         and node.distance_code() > 0
     ):
         return pos
@@ -147,9 +148,12 @@ def _compute_distance_cache(pos, starting_cache, nodes, out_cache) -> None:
         idx += 1
 
 
-def _evaluate_node(block_start, pos, starting_cache, model, queue, nodes) -> None:
+def _evaluate_node(block_start, pos, starting_cache, model, queue, nodes,
+                   max_window=MAX_BACKWARD_LIMIT) -> None:
     node_cost = nodes[pos].cost
-    nodes[pos].shortcut = _compute_distance_shortcut(block_start, pos, nodes)
+    nodes[pos].shortcut = _compute_distance_shortcut(
+        block_start, pos, nodes, max_window
+    )
     if node_cost <= model.get_literal_costs(0, pos):
         cache = [0, 0, 0, 0]
         _compute_distance_cache(pos, starting_cache, nodes, cache)
@@ -181,16 +185,17 @@ def _update_zopfli_node(nodes, pos, start_pos, ln, len_code, dist, short_code, c
 def _update_nodes(
     num_bytes, block_start, pos, data, mask, quality,
     starting_cache, matches, model, queue, nodes,
-    npostfix=0, ndirect=0,
+    npostfix=0, ndirect=0, max_window=MAX_BACKWARD_LIMIT,
 ) -> int:
     cur_ix = block_start + pos
     cur = cur_ix & mask
-    max_distance = min(cur_ix, MAX_BACKWARD_LIMIT)
+    max_distance = min(cur_ix, max_window)
     max_len = num_bytes - pos
     max_zlen = max_zopfli_len(quality)
     max_iters = max_zopfli_candidates(quality)
 
-    _evaluate_node(block_start, pos, starting_cache, model, queue, nodes)
+    _evaluate_node(block_start, pos, starting_cache, model, queue, nodes,
+                   max_window)
 
     posdata0 = queue.at(0)
     min_cost = (
@@ -288,7 +293,8 @@ def _compute_shortest_path(num_bytes, nodes) -> None:
 
 
 def _create_commands_from_path(
-    num_bytes, block_start, nodes, dist_cache, last_insert_len, npostfix, ndirect
+    num_bytes, block_start, nodes, dist_cache, last_insert_len, npostfix,
+    ndirect, max_window=MAX_BACKWARD_LIMIT,
 ) -> tuple[list[Command], int, int]:
     commands: list[Command] = []
     num_literals = 0
@@ -310,7 +316,7 @@ def _create_commands_from_path(
             make_command(insert_len, copy_len, len_code - copy_len, dist_code,
                          ndirect, npostfix)
         )
-        dictionary_start = min(block_start + pos, MAX_BACKWARD_LIMIT)
+        dictionary_start = min(block_start + pos, max_window)
         if not (distance > dictionary_start) and dist_code > 0:
             dist_cache[3] = dist_cache[2]
             dist_cache[2] = dist_cache[1]
@@ -333,7 +339,9 @@ def _trim_long_matches(matches, max_zlen):
 def create_zopfli_backward_references(
     num_bytes, position, data, mask, hasher: BinaryTreeHasher,
     dist_cache, last_insert_len, npostfix=0, ndirect=0, quality=10,
+    max_window: int | None = None,
 ) -> tuple[list[Command], int, int]:
+    mw = MAX_BACKWARD_LIMIT if max_window is None else max_window
     max_zlen = max_zopfli_len(quality)
     nodes = [ZopfliNode() for _ in range(num_bytes + 1)]
     nodes[0].length = 0
@@ -344,12 +352,12 @@ def create_zopfli_backward_references(
     i = 0
     while i + 3 < num_bytes:
         pos = position + i
-        max_distance = min(pos, MAX_BACKWARD_LIMIT)
+        max_distance = min(pos, mw)
         matches = hasher.find_all_matches(data, mask, pos, num_bytes - i, max_distance)
         matches = _trim_long_matches(matches, max_zlen)
         skip = _update_nodes(
             num_bytes, position, i, data, mask, quality,
-            dist_cache, matches, model, queue, nodes, npostfix, ndirect,
+            dist_cache, matches, model, queue, nodes, npostfix, ndirect, mw,
         )
         if skip >= LONG_COPY_QUICK_STEP:
             i += skip - 1
@@ -358,15 +366,18 @@ def create_zopfli_backward_references(
         i += 1
     _compute_shortest_path(num_bytes, nodes)
     return _create_commands_from_path(
-        num_bytes, position, nodes, dist_cache, last_insert_len, npostfix, ndirect
+        num_bytes, position, nodes, dist_cache, last_insert_len, npostfix,
+        ndirect, mw,
     )
 
 
 def create_hq_zopfli_backward_references(
     num_bytes, position, data, mask, hasher: BinaryTreeHasher,
     dist_cache, last_insert_len, npostfix=0, ndirect=0,
+    max_window: int | None = None,
 ) -> tuple[list[Command], int, int]:
     quality = 11
+    mw = MAX_BACKWARD_LIMIT if max_window is None else max_window
     max_zlen = max_zopfli_len(quality)
 
     # pass A: collect matches for every position
@@ -375,7 +386,7 @@ def create_hq_zopfli_backward_references(
     i = 0
     while i + 3 < num_bytes:
         pos = position + i
-        max_distance = min(pos, MAX_BACKWARD_LIMIT)
+        max_distance = min(pos, mw)
         matches = hasher.find_all_matches(data, mask, pos, num_bytes - i, max_distance)
         if matches and matches[-1].length > max_zlen:
             longest = matches[-1]
@@ -420,6 +431,7 @@ def create_hq_zopfli_backward_references(
             skip = _update_nodes(
                 num_bytes, position, i, data, mask, quality,
                 dist_cache, matches, model, queue, nodes, npostfix, ndirect,
+                mw,
             )
             if skip >= LONG_COPY_QUICK_STEP:
                 i += skip - 1
@@ -428,6 +440,7 @@ def create_hq_zopfli_backward_references(
             i += 1
         _compute_shortest_path(num_bytes, nodes)
         commands, num_literals, final_last_insert_len = _create_commands_from_path(
-            num_bytes, position, nodes, dist_cache, last_insert_len, npostfix, ndirect
+            num_bytes, position, nodes, dist_cache, last_insert_len, npostfix,
+            ndirect, mw,
         )
     return commands, num_literals, final_last_insert_len

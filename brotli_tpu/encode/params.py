@@ -52,6 +52,11 @@ class EncoderParams:
     lgblock: int = 0
     size_hint: int = 0
     large_window: bool = False
+    # Honor lgwin as the match-search window instead of the reference's
+    # lgwin-independent (1<<22)-16 quirk (SURVEY section 5 "known limitation
+    # to fix").  Off by default: the quirk reaches the bitstream and the
+    # golden-locked outputs replicate it.
+    honor_lgwin: bool = False
     dist: DistanceParams = field(default_factory=DistanceParams)
 
     def sanitize(self) -> "EncoderParams":
@@ -93,6 +98,7 @@ def make_params(
     lgwin: int | None = None,
     mode: int | None = None,
     size_hint: int | None = None,
+    honor_lgwin: bool = False,
 ) -> EncoderParams:
     p = EncoderParams()
     if quality is not None:
@@ -103,4 +109,5 @@ def make_params(
         p.mode = mode
     if size_hint is not None:
         p.size_hint = size_hint
+    p.honor_lgwin = honor_lgwin
     return p.sanitize()

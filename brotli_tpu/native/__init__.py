@@ -46,13 +46,12 @@ def get_lib() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         lib = ctypes.CDLL(str(_build()))
-        for name in ("lz_resolve_batch", "lz_resolve_batch_v2"):
-            fn = getattr(lib, name)
-            fn.restype = ctypes.c_int
-            fn.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
-            ]
+        fn = lib.lz_resolve_batch_v2
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ]
         dec = lib.brotli_native_decode
         dec.restype = ctypes.c_int
         dec.argtypes = (
@@ -68,35 +67,14 @@ def get_lib() -> ctypes.CDLL:
     return _LIB
 
 
-def lz_resolve_batch(tokens, expected_lens, n_threads: int = 8):
-    """Resolve (n_rows, n_lanes) u32 tokens -> (n_lanes, cap) u8 outputs.
+def lz_resolve_batch_v2(tokens, expected_lens, n_threads: int = 8):
+    """Resolve (n_rows, n_lanes) u32 v2 tokens -> (n_lanes, cap) u8 outputs.
 
     `expected_lens[lane]` is the decoded size (known from the metablock
     header); resolution stops there. Returns (out, lens) where
-    lens[lane] == -1 marks a malformed lane.
+    lens[lane] == -1 marks a malformed lane.  Token format:
+    ops/pallas_decode2.py module docstring.
     """
-    import numpy as np
-
-    tokens = np.ascontiguousarray(tokens, dtype=np.uint32)
-    n_rows, n_lanes = tokens.shape
-    lens = np.asarray(expected_lens, dtype=np.int64).copy()
-    assert lens.shape == (n_lanes,)
-    cap = max(1, int(lens.max()))
-    out = np.zeros((n_lanes, cap), dtype=np.uint8)
-    lib = get_lib()
-    lib.lz_resolve_batch(
-        tokens.ctypes.data_as(ctypes.c_void_p),
-        n_rows, n_lanes,
-        out.ctypes.data_as(ctypes.c_void_p),
-        cap,
-        lens.ctypes.data_as(ctypes.c_void_p),
-        n_threads,
-    )
-    return out, lens
-
-
-def lz_resolve_batch_v2(tokens, expected_lens, n_threads: int = 8):
-    """v2-token variant of lz_resolve_batch (see ops/pallas_decode2.py)."""
     import numpy as np
 
     tokens = np.ascontiguousarray(tokens, dtype=np.uint32)

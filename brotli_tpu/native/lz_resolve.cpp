@@ -1,12 +1,10 @@
-// LZ resolution of device token streams (phase 2 of TPU decode).
+// LZ resolution of device token streams (host fallback for phase 2 of TPU
+// decode; the primary path resolves on device, ops/pallas_resolve.py).
 //
-// The Pallas entropy kernel (ops/pallas_decode.py) emits per-lane token
+// The Pallas entropy kernel (ops/pallas_decode2.py) emits per-lane token
 // streams in row-major (n_rows, n_lanes) layout.  This resolver walks each
 // lane's column, materializing literals and back-reference copies — pure
 // memory-bandwidth work, multithreaded across lanes.
-//
-// Token format: see ops/pallas_decode.py (literal / 0x4000_0000|copy_len /
-// 0x8000_0000|distance / 0xFFFF_FFFF pad).
 
 #include <cstdint>
 #include <cstring>
@@ -14,55 +12,6 @@
 #include <vector>
 
 namespace {
-
-constexpr uint32_t kPad = 0xFFFFFFFFu;
-constexpr uint32_t kTagMask = 0xC0000000u;
-constexpr uint32_t kTagCopy = 0x40000000u;
-constexpr uint32_t kTagDist = 0x80000000u;
-constexpr uint32_t kPayload = 0x3FFFFFFFu;
-
-// Returns bytes produced, or -1 on malformed token stream.  Rows past the
-// lane's completion may contain garbage (un-DMA'd HBM after early kernel
-// exit), so resolution stops exactly at `expected` bytes.
-int64_t resolve_lane(const uint32_t* tokens, int64_t n_rows, int64_t stride,
-                     uint8_t* out, int64_t out_cap, int64_t expected) {
-  int64_t pos = 0;
-  int64_t copy_len = -1;
-  for (int64_t r = 0; r < n_rows && pos < expected; ++r) {
-    uint32_t t = tokens[r * stride];
-    if (t == kPad) continue;
-    uint32_t tag = t & kTagMask;
-    if (tag == 0) {
-      if (pos >= out_cap) return -1;
-      out[pos++] = static_cast<uint8_t>(t & 0xFF);
-    } else if (tag == kTagCopy) {
-      copy_len = static_cast<int64_t>(t & kPayload);
-    } else if (tag == kTagDist) {
-      int64_t dist = static_cast<int64_t>(t & kPayload);
-      if (copy_len < 0 || dist < 1 || dist > pos || pos + copy_len > out_cap)
-        return -1;
-      const uint8_t* src = out + pos - dist;
-      uint8_t* dst = out + pos;
-      if (dist >= copy_len) {
-        std::memcpy(dst, src, static_cast<size_t>(copy_len));
-      } else {
-        // overlapping: replicate the period
-        int64_t written = dist;
-        std::memcpy(dst, src, static_cast<size_t>(dist));
-        while (written < copy_len) {
-          int64_t n = written < copy_len - written ? written : copy_len - written;
-          std::memcpy(dst + written, dst, static_cast<size_t>(n));
-          written += n;
-        }
-      }
-      pos += copy_len;
-      copy_len = -1;
-    } else {
-      return -1;  // unknown tag
-    }
-  }
-  return pos;
-}
 
 // ---- v2 token format (ops/pallas_decode2.py) ----
 // PAD = 0; tag = t >> 30:
@@ -124,38 +73,6 @@ extern "C" {
 // tokens: (n_rows, n_lanes) u32 row-major.
 // out: (n_lanes, out_stride) u8; out_lens[lane]: IN expected size, OUT bytes
 // produced (-1 on malformed stream).  Returns the number of failed lanes.
-int lz_resolve_batch(const uint32_t* tokens, int64_t n_rows, int64_t n_lanes,
-                     uint8_t* out, int64_t out_stride, int64_t* out_lens,
-                     int n_threads) {
-  if (n_threads < 1) n_threads = 1;
-  std::vector<int> failures(static_cast<size_t>(n_threads), 0);
-  auto work = [&](int tid) {
-    for (int64_t lane = tid; lane < n_lanes; lane += n_threads) {
-      int64_t n = resolve_lane(tokens + lane, n_rows, n_lanes,
-                               out + lane * out_stride, out_stride,
-                               out_lens[lane]);
-      if (n < 0 || n != out_lens[lane]) {
-        failures[static_cast<size_t>(tid)]++;
-        out_lens[lane] = -1;
-      } else {
-        out_lens[lane] = n;
-      }
-    }
-  };
-  if (n_threads == 1) {
-    work(0);
-  } else {
-    std::vector<std::thread> threads;
-    threads.reserve(static_cast<size_t>(n_threads));
-    for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
-    for (auto& th : threads) th.join();
-  }
-  int total = 0;
-  for (int f : failures) total += f;
-  return total;
-}
-
-// v2 token format; same calling convention as lz_resolve_batch.
 int lz_resolve_batch_v2(const uint32_t* tokens, int64_t n_rows,
                         int64_t n_lanes, uint8_t* out, int64_t out_stride,
                         int64_t* out_lens, int n_threads) {

@@ -515,6 +515,50 @@ def _jitted_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
     return jax.jit(_build_pack(n_blocks, interpret, n_groups))
 
 
+@_functools.lru_cache(maxsize=16)
+def _jitted_assemble(maxH: int, n_distinct: int):
+    """Device stream assembly: one axis-0 co-sort splices header words,
+    pack-kernel body words, and the final partial words into each lane's
+    complete compressed stream (LE words) resident in HBM."""
+    import jax
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    def asm(keys, words, status, h, hidx, hdr_stack_i32):
+        # header columns from the distinct-header stack: (maxH, 8, 128)
+        hdr = jax.lax.bitcast_convert_type(hdr_stack_i32, jnp.uint32)
+        head_w = jnp.zeros((maxH, 8, 128), jnp.uint32)
+        for j in range(n_distinct):
+            head_w = jnp.where(
+                (hidx == j)[None, :, :], hdr[j][:, None, None], head_w
+            )
+        rows = lax.broadcasted_iota(jnp.int32, (maxH, 8, 128), 0)
+        head_k = jnp.where(rows < h[None], rows, jnp.int32(KEY_PAD))
+
+        body_k = jnp.where(keys != KEY_PAD, keys + h[None], KEY_PAD)
+
+        widx = status[0].astype(jnp.int32)
+        avail = status[1].astype(jnp.int32)
+        tail_k = jnp.stack(
+            [
+                jnp.where(avail > 32 * limb, h + widx + limb, KEY_PAD)
+                for limb in range(2)
+            ]
+        )
+        tail_w = status[2:4]
+
+        allk = jnp.concatenate([head_k, body_k, tail_k], axis=0)
+        allw = jnp.concatenate([head_w, words, tail_w], axis=0)
+        _, sw = lax.sort(
+            (allk, jax.lax.bitcast_convert_type(allw, jnp.int32)),
+            dimension=0, num_keys=1,
+        )
+        return sw
+
+    return jax.jit(asm)
+
+
 def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
     import jax
     import jax.numpy as jnp
@@ -845,11 +889,13 @@ def _device_stages(data_arr, n_valid, hash_stride: int = 1,
 
 def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
                   sample_stride: int, max_distance: int | None = None,
-                  chain_depth: int = 2):
+                  chain_depth: int = 2, device_input=None):
     """Host prep + dispatch of the XLA match/parse/record stages.
 
     Returns a state dict; the device work is in flight when this returns
     (nothing has been fetched), so several devices can run concurrently.
+    device_input optionally passes pre-staged (data_arr, n_valid) device
+    arrays (callers that re-encode resident data skip the upload).
     """
     import jax.numpy as jnp
 
@@ -857,24 +903,26 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
     n_chunks = -(-len(data) // chunk_size)
     assert n_chunks <= B_LANES, "batch too large; split input"
 
-    pad = chunk_size * B_LANES - len(data)
-    arr = np.frombuffer(data + b"\x00" * pad, dtype=np.uint8).reshape(
-        B_LANES, chunk_size
-    )
-    # zero tail: windows never read across chunk ends (chunks are
-    # independent streams; match lengths are clamped to n_valid anyway)
-    data_np = np.concatenate(
-        [arr, np.zeros((B_LANES, MATCH_CAP + 4), dtype=np.uint8)], axis=1
-    )
-
     n_valid_np = np.zeros(B_LANES, dtype=np.int32)
     full = len(data) // chunk_size
     n_valid_np[:full] = chunk_size
     if full < n_chunks:
         n_valid_np[full] = len(data) - full * chunk_size
 
-    data_arr = jnp.asarray(data_np)
-    n_valid = jnp.asarray(n_valid_np)
+    if device_input is None:
+        pad = chunk_size * B_LANES - len(data)
+        arr = np.frombuffer(data + b"\x00" * pad, dtype=np.uint8).reshape(
+            B_LANES, chunk_size
+        )
+        # zero tail: windows never read across chunk ends (chunks are
+        # independent streams; match lengths are clamped to n_valid anyway)
+        data_np = np.concatenate(
+            [arr, np.zeros((B_LANES, MATCH_CAP + 4), dtype=np.uint8)], axis=1
+        )
+        data_arr = jnp.asarray(data_np)
+        n_valid = jnp.asarray(n_valid_np)
+    else:
+        data_arr, n_valid = device_input
 
     stages = _jitted_stages(hash_stride, max_distance, chain_depth)
     rec0, rec1, n_rec = stages(data_arr, n_valid)
@@ -1001,38 +1049,71 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
         jnp.asarray(init0_np), jnp.asarray(initav_np),
     )
 
-    # ---- word compaction per lane (axis-0 sort: no device transposes) ----
-    skeys, swords = lax.sort(
-        (keys, jax.lax.bitcast_convert_type(words, jnp.int32)),
-        dimension=0, num_keys=1,
+    # ---- device-side stream assembly (bytes end up whole in HBM) ----
+    # One axis-0 co-sort assembles header + body + bit-tail per lane: head
+    # words get keys 0..h-1, pack-kernel words h..h+widx-1 (their widx keys
+    # shifted by h), the <=2 final partial words follow.  The distinct
+    # headers are tiny (one per (mlen, table-group)), so the header columns
+    # are built on device from an uploaded (n_distinct, maxH) stack — the
+    # upload is O(KB), not O(batch).
+    hdr_keys = sorted(header_cache.keys())
+    hdr_index = {k: j for j, k in enumerate(hdr_keys)}
+    n_distinct = max(1, len(hdr_keys))
+    h_np = np.zeros(B_LANES, np.int32)            # full head words per lane
+    hidx_np = np.zeros(B_LANES, np.int32)         # distinct-header index
+    maxH = max((len(wd) for wd in head_words), default=0)
+    maxH = max(maxH, 1)
+    hdr_stack = np.zeros((n_distinct, maxH), np.uint32)
+    for s in range(n_chunks):
+        key = (int(n_valid_np[s]), int(group_of[s]))
+        hidx_np[s] = hdr_index[key]
+        h_np[s] = len(head_words[s])
+        hdr_stack[hidx_np[s], : h_np[s]] = head_words[s]
+
+    asm = _jitted_assemble(maxH, n_distinct)
+    swords = asm(
+        keys, words, status,
+        jnp.asarray(h_np.reshape(8, 128)),
+        jnp.asarray(hidx_np.reshape(8, 128)),
+        jnp.asarray(hdr_stack.view(np.int32)),
     )
     state.update(
-        swords=swords, status=status, head_words=head_words,
+        swords=swords, status=status, h_np=h_np,
         head_bits_np=head_bits_np, init0_np=init0_np, initav_np=initav_np,
         lgwin=lgwin,
     )
 
 
+def stream_sizes(state: dict) -> np.ndarray:
+    """Compressed size in bytes per chunk, from the (8,8,128) status fetch
+    alone — no bulk word download (the bench's ratio comes from here while
+    the assembled streams stay in HBM)."""
+    n_chunks = state["n_chunks"]
+    status_np = np.asarray(state["status"])
+    widx_np = status_np[0].reshape(-1).astype(np.int64)
+    avail_np = status_np[1].astype(np.int64).reshape(-1)
+    h_bits = state["h_np"].astype(np.int64) * 32
+    total_bits = h_bits + widx_np * 32 + avail_np
+    return ((total_bits[:n_chunks] + 7) // 8).astype(np.int64)
+
+
 def _encode_finish(state: dict) -> list[bytes]:
-    """Fetch packed words + status and assemble the final byte streams."""
+    """Fetch the device-assembled word streams and slice out the bytes."""
     data = state["data"]
     chunk_size = state["chunk_size"]
     n_chunks = state["n_chunks"]
-    head_words = state["head_words"]
-    head_bits_np = state["head_bits_np"]
-    init0_np = state["init0_np"]
-    initav_np = state["initav_np"]
+    h_np = state["h_np"]
     swords = state["swords"]
     lgwin = state["lgwin"]
 
     status_np = np.asarray(state["status"])
     widx_np = status_np[0].reshape(-1).astype(np.int64)
     avail_np = status_np[1].astype(np.int32).reshape(-1)
-    tail_words = status_np[2:5].reshape(3, -1)  # b0, b1, b2 final partials
     ovf_np = status_np[5].reshape(-1)
 
-    maxw = int(widx_np[:n_chunks].max()) if n_chunks else 0
-    # fetch (maxw, 8, 128) then lay out per stream on the host
+    # total words per lane; fetch (maxw, 8, 128) then slice per stream
+    nw_np = h_np.astype(np.int64) + widx_np + (avail_np.astype(np.int64) + 31) // 32
+    maxw = int(nw_np[:n_chunks].max()) if n_chunks else 0
     words_np = (
         np.asarray(swords[:maxw]).astype(np.uint32)
         .reshape(maxw, B_LANES).T.copy()
@@ -1040,7 +1121,6 @@ def _encode_finish(state: dict) -> list[bytes]:
         else np.zeros((B_LANES, 0), np.uint32)
     )
 
-    # ---- assemble streams ----
     out: list[bytes] = []
     for s in range(n_chunks):
         if ovf_np[s]:
@@ -1050,13 +1130,7 @@ def _encode_finish(state: dict) -> list[bytes]:
             chunk = data[s * chunk_size : (s + 1) * chunk_size]
             out.append(host_encode(chunk, quality=2, lgwin=lgwin))
             continue
-        nw = int(widx_np[s])
-        dev_words = words_np[s, :nw]
-        body = head_words[s].tobytes() + dev_words.tobytes()
-        av = int(avail_np[s])
-        total_bits = head_bits_np[s] - initav_np[s // 128, s % 128] + nw * 32 + av
-        for limb in range((av + 31) // 32):
-            body += int(tail_words[limb, s]).to_bytes(4, "little")
-        nbytes = (int(total_bits) + 7) // 8
-        out.append(body[:nbytes])
+        total_bits = int(h_np[s]) * 32 + int(widx_np[s]) * 32 + int(avail_np[s])
+        nbytes = (total_bits + 7) // 8
+        out.append(words_np[s, : int(nw_np[s])].tobytes()[:nbytes])
     return out

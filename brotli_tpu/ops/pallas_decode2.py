@@ -1,7 +1,9 @@
 """Pallas lockstep decode kernel v2: 1024 shared-table streams per batch.
 
 TPU-native architecture (SURVEY.md section 7 "sequential cores, parallel
-everything else"), second generation.  What changed vs ops/pallas_decode.py:
+everything else"), second generation.  What changed vs the retired round-1
+v1 kernel (128 per-lane-table streams, one-hot table sweeps — git history
+`ops/pallas_decode.py`):
 
 * **1024 streams per grid step** — state lives in (8, 128) vregs (sublane x
   lane), so every elementwise op serves 1024 streams instead of 128.
@@ -766,7 +768,7 @@ def preflight_shared(streams: list[bytes], D: int = 64,
 
 
 def preflight_binned(streams: list[bytes],
-                     max_groups: int | None = None):
+                     max_groups: int | None = None, D: int = 64):
     """Bin arbitrary device-eligible streams by Huffman-table signature.
 
     Each interleave group of the v2 kernel carries its own table set, so a
@@ -832,7 +834,6 @@ def preflight_binned(streams: list[bytes],
             slot_base += NSTREAM
 
     max_words = max(r.shape[0] for _, r in rebased)
-    D = 64
     Wpad = _round_up(max_words, D) + D
     wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
     for slot, r in rebased:
@@ -1008,14 +1009,14 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
     if batch is None:
         # not batch-identical tables: bin by table signature, one kernel
         # interleave group per bin (per-group table vregs)
-        binned = preflight_binned(streams)
+        binned = preflight_binned(streams, D=D)
         if binned is not None:
             batch, perm = binned
     if batch is None:
-        from .pallas_decode import decode_batch_pallas
-
-        return decode_batch_pallas(streams, n_threads=n_threads,
-                                   interpret=interpret)
+        # too many distinct table signatures for per-group binning: the
+        # per-lane-table device variant (ops/device_decode.py) or the host
+        # decoder (native C++ first) cover the long tail
+        return [host_decode(s) for s in streams]
     tokens, phases = run_batch(batch, D=D, interpret=interpret)
     flat_phases = phases.reshape(-1)
     expected = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
@@ -1038,6 +1039,25 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
             results[i] = bytes(out[slot, : lens[slot]])
     _note_fallbacks(batch.n_streams, n_fallback)
     return results  # type: ignore[return-value]
+
+
+def used_token_rows(tokens, block: int = 512) -> int:
+    """Last token row actually used, rounded up to `block` (device reduce +
+    one scalar fetch).
+
+    The entropy kernel's row budget (plan_blocks) is a worst case ~1.3x the
+    typical stream; the resolve kernel's shared token cursor must traverse
+    every row it is given, so handing it the full budget makes it sweep a
+    long all-pad tail.  Rounding keeps the resolve kernel's compile cache
+    small.
+    """
+    import jax.numpy as jnp
+
+    rows = tokens.shape[0]
+    nz = jnp.any(tokens != 0, axis=(1, 2))
+    last = rows - jnp.argmax(nz[::-1])          # rows if all-zero
+    n_used = int(jnp.where(jnp.any(nz), last, 0))
+    return min(rows, _round_up(max(n_used, 1), block))
 
 
 def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
@@ -1074,7 +1094,8 @@ def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
         jnp.asarray(batch.scal),
     )
     rows = n_blocks * block_rows
-    r_cap = min(rows, token_row_cap) if token_row_cap else rows
+    r_cap = min(rows, token_row_cap) if token_row_cap else \
+        used_token_rows(out[:rows])
     tokens = out[:r_cap]                     # device slice
     phases = np.asarray(out[rows]).reshape(-1)   # tiny host fetch
     resolved, n_out_rows = resolve_tokens_device(

@@ -59,6 +59,10 @@ MAX_DEVICE_DISTANCE = DEFAULT_H - 16  # encoder-side cap for device streams
 DEFAULT_DT = 64           # token window rows in VMEM (uniform slide)
 KBUF = 8                  # per-lane token buffer depth (register FIFO)
 PULLS_PER_ROW = 2         # buffer-head consumptions per lane per row
+POPS_PER_ROW = 2          # shared token rows consumed per kernel row: must
+                          # match the pull rate or token-dense regions (and
+                          # the all-pad tail) bound the whole kernel at one
+                          # token row per kernel row
 FLUSH = 32                # emitted rows per output DMA (must divide V)
 STAG_LIMIT = 192          # no-progress rows before declaring skew deadlock
 
@@ -351,8 +355,9 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             filled = jnp.where(do_refill, filled + HALF_DT, filled)
 
             st = drain(st)
-            st, popped = pop_uniform(st, r_pop, filled)
-            r_pop = r_pop + popped.astype(jnp.int32)
+            for _ in range(POPS_PER_ROW):
+                st, popped = pop_uniform(st, r_pop, filled)
+                r_pop = r_pop + popped.astype(jnp.int32)
             for _ in range(PULLS_PER_ROW):
                 st = pull(st)
             st = emit(st, flush_base)
@@ -484,7 +489,14 @@ def get_resolve_kernel(R_tok: int, n_out_rows: int, V: int = DEFAULT_H // 4,
     import jax
 
     if row_budget is None:
-        row_budget = 3 * n_out_rows + 4 * DT
+        # Hang-guard only — the while_loop exits as soon as every lane is
+        # done, so a generous budget costs nothing in the good case.  It
+        # must cover a full traversal of the token rows (the shared cursor
+        # r_pop advances <= POPS_PER_ROW per kernel row; round-2's
+        # 3*n_out_rows guard ignored R_tok and truncated every lane whose
+        # tokens sat beyond it — the 818-lane bench failure) plus the
+        # emission rows with stall margin.
+        row_budget = -(-R_tok // POPS_PER_ROW) + 3 * n_out_rows + 4 * DT
     return jax.jit(
         _build(R_tok, n_out_rows, V, DT, groups, row_budget, interpret)
     )
@@ -507,6 +519,8 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
     """
     import jax.numpy as jnp
 
+    import jax.numpy as _jnp
+
     R, GS, _ = tokens.shape
     G = GS // SUB
     V = H // 4
@@ -514,7 +528,16 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
         DT = DEFAULT_DT
     mlens = np.asarray(mlens, dtype=np.int64).reshape(-1)
     assert mlens.size == G * NSTREAM
-    assert R >= DT, f"token rows {R} < window {DT} (pad the token array)"
+    # the window refills in DT/2-row steps: a tail shorter than DT/2 would
+    # never be loaded (ADVICE r2) — pad with zero rows (PAD tokens, free)
+    pad_rows = (-R) % (DT // 2)
+    if R < DT:
+        pad_rows = DT - R
+    if pad_rows:
+        tokens = _jnp.concatenate(
+            [tokens, _jnp.zeros((pad_rows, GS, LANES), tokens.dtype)], axis=0
+        )
+        R += pad_rows
     max_mlen = int(mlens.max()) if mlens.size else 0
     n_out_rows = max(FLUSH, _round_up(-(-max_mlen // 4), FLUSH))
     tokens_g = jnp.transpose(

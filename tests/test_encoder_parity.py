@@ -52,8 +52,7 @@ _FAST = [k for k in GOLDEN["outputs"] if "q11" not in k or "30k" in k or
 _SLOW = [k for k in GOLDEN["outputs"] if k not in _FAST]
 
 
-@pytest.mark.parametrize("case", sorted(_FAST))
-def test_golden_output(case: str):
+def _check_golden(case: str) -> None:
     key, q, m = case.split(":")
     data = _load(key)
     out = encode(data, quality=int(q[1:]), mode=int(m[1:]))
@@ -67,10 +66,17 @@ def test_golden_output(case: str):
     assert decode(out) == data
 
 
+@pytest.mark.parametrize("case", sorted(_FAST))
+def test_golden_output(case: str):
+    _check_golden(case)
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("case", sorted(_SLOW))
+@pytest.mark.parametrize("case", sorted(_SLOW) or ["<none>"])
 def test_golden_output_slow(case: str):
-    test_golden_output.__wrapped__(case)  # type: ignore[attr-defined]
+    if case == "<none>":
+        pytest.skip("every golden case is in the fast lane")
+    _check_golden(case)
 
 
 @pytest.mark.slow

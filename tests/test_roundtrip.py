@@ -139,3 +139,23 @@ def test_encode_sharded_concat_roundtrip():
         from brotli_tpu.decode.engine import decode as py_decode
 
         assert py_decode(stream) == data
+
+
+def test_honor_lgwin_distances_beyond_4mb():
+    """lgwin-honoring mode (SURVEY section 5): with lgwin=24 the encoder
+    searches the full ~16 MB window; the reference quirk caps matches at
+    (1<<22)-16 regardless of lgwin.  A repeat at distance ~4.3 MB is only
+    compressible in the honoring mode; both modes must round-trip."""
+    import hashlib
+
+    prefix = b"".join(
+        hashlib.sha256(i.to_bytes(4, "little")).digest() for i in range(2048)
+    )  # 64 KB incompressible-ish
+    data = prefix + b"\x00" * (4 * 1024 * 1024 + 128 * 1024) + prefix
+
+    quirk = encode(data, quality=2, lgwin=24)
+    honored = encode(data, quality=2, lgwin=24, honor_lgwin=True)
+    assert decode(quirk) == data
+    assert decode(honored) == data
+    # the distance > 4 MB match only exists in the honoring mode
+    assert len(honored) < len(quirk) - 30000
