@@ -1,0 +1,1397 @@
+"""Pallas fused decode kernel v3: full-format lockstep streams.
+
+v2 (ops/pallas_decode2.py + ops/pallas_resolve.py) splits decode into an
+entropy kernel emitting tokens and an LZ-resolve kernel consuming them.
+That split cannot express the format's contextual features: a literal's
+Huffman TREE depends on the previous two OUTPUT bytes (context modeling,
+engine.ts:1154-1276), which for a literal following a copy only exist after
+LZ resolution.  v3 fuses both phases in one kernel — the VMEM history ring
+is live while symbols decode, so p1/p2 are always known — and adds the
+remaining entropy-side format:
+
+  * block switching in all 3 categories (btype/blen trees, reference
+    semantics engine.ts:559-607),
+  * literal + distance context maps with per-block-type context modes
+    (engine.ts:727-837, 1154-1276), trees selected per symbol,
+  * Huffman tree groups (several trees per category, per-group caps baked
+    at trace time),
+  * static-dictionary words with the 121 RFC transforms applied on device
+    (engine.ts:903-945, 1557-1675): the 122 KB dictionary and the packed
+    transform strings live in VMEM as lane-shared gather chunks.
+
+Per-lane independence: unlike v2's shared token cursor, every lane here
+advances through its own bit stream at its own pace; the only inter-lane
+coupling is the output flush frontier (a lane may run at most V-FLUSH rows
+ahead of the slowest live lane so ring slots stay flushable).  A stalled
+lane can throttle the batch but never deadlock it.
+
+Architectural bound (honest): LZ history is a VMEM ring of H bytes per
+lane.  1024 lanes need H KB x 1 MB of VMEM per 1 KB of window; a reference
+stream with lgwin=22 (4 MB window) would need ~4 GB for a full batch,
+~250x the chip's ~16 MB VMEM.  Streams whose emitted distances exceed
+H-16 flag ERR_FAR_DIST at the offending command and fall back to the host
+decoder; full-format streams produced with lgwin <= log2(H) (e.g. this
+framework's own bit-exact q5-q11 encoder with honor_lgwin) decode
+end-to-end on device.
+
+Group layout: like v2, G independent lane-groups interleave in one kernel,
+each with its OWN tables and per-group static config (tree counts, block
+types, npostfix/ndirect) — mixed batches bin by full table signature.
+
+Output layout: (G*(n_out_rows+8), 8, 128) u32, group-major.  Row
+n_out_rows holds per-lane error flags, +1 emitted rows, +2 final phase,
++3 final mbl.  Stream s of group g = LE bytes of out rows, length mlens.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import (
+    BLOCK_LENGTH_N_BITS,
+    BLOCK_LENGTH_OFFSET,
+    COPY_LENGTH_N_BITS,
+    COPY_LENGTH_OFFSET,
+    DICT_OFFSETS_BY_LENGTH,
+    DICT_SIZE_BITS_BY_LENGTH,
+    DISTANCE_SHORT_CODE_DELTA,
+    DISTANCE_SHORT_CODE_INDEX,
+    INSERT_LENGTH_N_BITS,
+    INSERT_LENGTH_OFFSET,
+)
+
+SUB = 8
+LANES = 128
+NSTREAM = SUB * LANES
+
+# phases
+INIT, CMD, INS_EX, CP_EX, LIT, DIST, DIST_EX, BSW2, DICT, DONE = range(10)
+
+# chunks per tree (tables padded to chunk multiples of 128 entries)
+LCH = 5    # literal tree: table 631
+CCH = 9    # command tree: 1081
+DCH = 8    # distance tree: 921
+BTCH = 6   # block-type tree: alphabet <= 258 -> 663
+BLCH = 4   # block-length tree: alphabet 26 -> 403
+CMCH = 6   # cmap region: 4 lit cmap + 1 dist cmap + 1 modes(clo)
+
+FLUSH = 32
+STAG_LIMIT = 1024        # rows without any progress -> flag live lanes
+
+# lane error flags
+ERR_FAR_DIST = 1         # copy distance beyond the VMEM ring window
+ERR_STREAM = 8           # malformed stream (bad distance/copy/transform)
+
+_DICT_WORDS = None
+
+
+def _replicate(flat: np.ndarray, k: int) -> np.ndarray:
+    out = np.zeros(k * 128, dtype=np.int32)
+    out[: flat.shape[0]] = flat
+    chunks = out.reshape(k, 1, 128)
+    return np.broadcast_to(chunks, (k, SUB, 128)).reshape(k * SUB, 128).copy()
+
+
+def _pad_table(table, chunks: int) -> np.ndarray:
+    out = np.zeros(chunks * 128, dtype=np.int32)
+    arr = np.asarray(table, np.int64)
+    n = min(arr.shape[0], out.shape[0])
+    out[:n] = arr[:n].astype(np.int32)
+    return out
+
+
+def _build_consts() -> np.ndarray:
+    """(16,128) packed luts, 2 chunks:
+    chunk 0: [0:24] ins (nbits<<20|off), [64:88] copy, [96:112] short codes
+    chunk 1: [0:26] blen (nbits<<20|off), [32:64] dict size_bits,
+             [64:96] dict word offsets (raw i32)"""
+    c = np.zeros(256, dtype=np.int32)
+    c[0:24] = (np.asarray(INSERT_LENGTH_N_BITS, np.int32) << 20) | np.asarray(
+        INSERT_LENGTH_OFFSET, np.int32
+    )
+    c[64:88] = (np.asarray(COPY_LENGTH_N_BITS, np.int32) << 20) | np.asarray(
+        COPY_LENGTH_OFFSET, np.int32
+    )
+    c[96:112] = (np.asarray(DISTANCE_SHORT_CODE_INDEX, np.int32) << 4) | (
+        np.asarray(DISTANCE_SHORT_CODE_DELTA, np.int32) + 3
+    )
+    c[128:154] = (np.asarray(BLOCK_LENGTH_N_BITS, np.int32) << 20) | np.asarray(
+        BLOCK_LENGTH_OFFSET, np.int32
+    )
+    sb = np.asarray(DICT_SIZE_BITS_BY_LENGTH, np.int32)
+    off = np.asarray(DICT_OFFSETS_BY_LENGTH, np.int32)
+    c[160 : 160 + sb.shape[0]] = sb
+    c[192 : 192 + off.shape[0]] = off
+    return np.broadcast_to(
+        c.reshape(2, 1, 128), (2, SUB, 128)
+    ).reshape(2 * SUB, 128).copy()
+
+
+def _context_lut_chunks() -> np.ndarray:
+    from ..decode.engine import _CONTEXT_LUT
+
+    return _replicate(np.asarray(_CONTEXT_LUT, np.int32), 16)
+
+
+def _dict_chunks() -> tuple[np.ndarray, int]:
+    """122 KB static dictionary as (k*8,128) i32 word chunks."""
+    global _DICT_WORDS
+    if _DICT_WORDS is None:
+        from ..decode.dictionary import get_dictionary
+
+        raw = get_dictionary()
+        pad = (-len(raw)) % 4
+        words = np.frombuffer(raw + b"\x00" * pad, dtype="<u4").view(np.int32)
+        k = -(-words.shape[0] // 128)
+        _DICT_WORDS = (_replicate(words, k), k)
+    return _DICT_WORDS
+
+
+def _transform_tables() -> tuple[np.ndarray, np.ndarray, int]:
+    """(tf_meta 2 chunks, tf_storage chunks, n_storage_chunks).
+
+    meta[2*t]   = (pre_off<<9) | (pre_len<<5) | op
+    meta[2*t+1] = (suf_off<<4) | suf_len"""
+    from ..decode.transforms import TRANSFORM_LIST
+
+    storage = bytearray()
+    meta = np.zeros(256, np.int64)
+    for t, (pre, op, suf) in enumerate(TRANSFORM_LIST):
+        pre_off = len(storage)
+        storage.extend(pre)
+        suf_off = len(storage)
+        storage.extend(suf)
+        assert pre_off < 2048 and suf_off < 4096
+        assert len(pre) < 16 and len(suf) < 16 and op < 32
+        meta[2 * t] = (pre_off << 9) | (len(pre) << 5) | op
+        meta[2 * t + 1] = (suf_off << 4) | len(suf)
+    pad = (-len(storage)) % 4
+    words = np.frombuffer(
+        bytes(storage) + b"\x00" * pad, dtype="<u4"
+    ).view(np.int32)
+    k = -(-words.shape[0] // 128)
+    return _replicate(meta, 2), _replicate(words, k), k
+
+
+# ---------------------------------------------------------------------------
+# host preflight
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GroupCfg:
+    """Per-group static kernel configuration (baked at trace time)."""
+
+    NL: int
+    NC: int
+    ND: int
+    NBT0: int
+    NBT1: int
+    NBT2: int
+    npostfix: int
+    ndirect: int
+    maxbw: int
+    trivial_lit: bool
+
+
+@dataclass
+class V3Batch:
+    wt: np.ndarray
+    lit_t: np.ndarray
+    cmd_t: np.ndarray
+    dist_t: np.ndarray
+    bsw_t: np.ndarray
+    cmap_t: np.ndarray
+    dx_t: np.ndarray
+    scal: np.ndarray          # (G*5*8,128): start_bit, mlen, blen0/1/2
+    mlens: np.ndarray
+    n_streams: int
+    configs: tuple            # tuple[GroupCfg]
+    Wpad: int
+    groups: int
+    perm: np.ndarray | None = None
+
+
+@dataclass
+class _PreV3:
+    words: np.ndarray
+    cmd_start_bit: int
+    mlen: int
+    maxbw: int
+    st: object
+    sig: bytes
+
+
+def preflight_one_v3(data: bytes) -> _PreV3 | None:
+    """Parse one stream's prologue + full metablock tables (any entropy
+    layout); None when the stream shape is device-ineligible (multi
+    metablock / uncompressed / metadata / empty / too many trees)."""
+    from ..decode.bitreader import BitReader, BrotliError
+    from ..decode.engine import (
+        _MetablockState,
+        _decode_window_bits,
+        _read_metablock_length,
+    )
+
+    try:
+        br = BitReader(bytes(data))
+        wbits, _ = _decode_window_bits(br, large_window_enabled=False)
+        input_end = bool(br.read(1))
+        if input_end and br.read(1):
+            return None
+        mlen, is_unc, is_meta = _read_metablock_length(br, input_end)
+        if is_meta or is_unc or mlen == 0 or not input_end:
+            return None
+        st = _MetablockState(br, large_window=False)
+    except BrotliError:
+        return None
+    # static kernel caps (VMEM + per-symbol select-chain cost): up to 8
+    # block types per category, 16 literal trees, 8 command/distance trees.
+    # alice29-class streams ([2,2,5] types, 6/2/6 trees) fit; enc-ttf-class
+    # (61 literal block types, 80 trees) decodes on the host.
+    if (max(st.num_types) > 8 or len(st.lit_group) > 16
+            or len(st.cmd_group) > 8 or len(st.dist_group) > 8):
+        return None
+    sig_parts = [
+        bytes([st.npostfix]), st.ndirect.to_bytes(2, "little"),
+        np.asarray(st.num_types, np.int64).tobytes(),
+        np.asarray(st.context_modes, np.int64).tobytes(),
+        np.asarray(st.cmap, np.int64).tobytes(),
+        np.asarray(st.dist_cmap, np.int64).tobytes(),
+        np.asarray(st.block_len, np.int64).tobytes(),
+    ]
+    for grp in (st.lit_group, st.cmd_group, st.dist_group):
+        for t in grp:
+            sig_parts.append(np.asarray(t, np.int64).tobytes())
+    for c in range(3):
+        for tab in (st.type_tables[c], st.len_tables[c]):
+            sig_parts.append(
+                b"-" if tab is None else np.asarray(tab, np.int64).tobytes()
+            )
+    pad = (-len(data)) % 4 + 12
+    words = np.frombuffer(bytes(data) + b"\x00" * pad, dtype="<u4")
+    return _PreV3(
+        words=words, cmd_start_bit=br.bitpos, mlen=mlen,
+        maxbw=(1 << wbits) - 16, st=st, sig=b"".join(sig_parts),
+    )
+
+
+def preflight_v3(streams: list[bytes], max_groups: int = 4,
+                 D: int = 64) -> V3Batch | None:
+    """Bin full-format streams by complete table signature into kernel
+    groups; None when ineligible (no streams, too many groups)."""
+    if not streams:
+        return None
+    pres = []
+    for s in streams:
+        p = preflight_one_v3(s)
+        if p is None:
+            return None
+        pres.append(p)
+    bins: dict[bytes, list[int]] = {}
+    for i, p in enumerate(pres):
+        bins.setdefault(p.sig, []).append(i)
+    n_groups = sum(-(-len(v) // NSTREAM) for v in bins.values())
+    if n_groups > max_groups:
+        return None
+
+    G = n_groups
+    configs = []
+    lit_parts, cmd_parts, dist_parts = [], [], []
+    bsw_parts, cmap_parts, dx_parts = [], [], []
+    start_bits = np.zeros(G * NSTREAM, np.int32)
+    mlens = np.zeros(G * NSTREAM, np.int64)
+    blen_init = np.zeros((3, G * NSTREAM), np.int32)
+    perm = np.full(G * NSTREAM, -1, np.int64)
+    rebased = []
+    slot_base = 0
+    for sig, idxs in bins.items():
+        idxs.sort(key=lambda i: pres[i].mlen / max(1, len(streams[i])))
+        rep = pres[idxs[0]].st
+        maxbw = pres[idxs[0]].maxbw
+        for off in range(0, len(idxs), NSTREAM):
+            part = idxs[off : off + NSTREAM]
+            configs.append(GroupCfg(
+                NL=len(rep.lit_group), NC=len(rep.cmd_group),
+                ND=len(rep.dist_group),
+                NBT0=rep.num_types[0], NBT1=rep.num_types[1],
+                NBT2=rep.num_types[2],
+                npostfix=rep.npostfix, ndirect=rep.ndirect, maxbw=maxbw,
+                trivial_lit=bool(rep.trivial_literal),
+            ))
+            lit_parts.append(np.concatenate(
+                [_pad_table(t, LCH) for t in rep.lit_group]
+            ))
+            cmd_parts.append(np.concatenate(
+                [_pad_table(t, CCH) for t in rep.cmd_group]
+            ))
+            dist_parts.append(np.concatenate(
+                [_pad_table(t, DCH) for t in rep.dist_group]
+            ))
+            bsw = [_pad_table(rep.type_tables[c] or [], BTCH) for c in range(3)]
+            bsw += [_pad_table(rep.len_tables[c] or [], BLCH) for c in range(3)]
+            bsw_parts.append(np.concatenate(bsw))
+            cm = np.zeros(CMCH * 128, np.int64)
+            cm[: len(rep.cmap)] = rep.cmap
+            cm[512 : 512 + len(rep.dist_cmap)] = rep.dist_cmap
+            for bt, mode in enumerate(rep.context_modes):
+                cm[640 + bt] = mode << 9
+            cmap_parts.append(_pad_table(cm, CMCH))
+            dxv = (np.asarray(rep.dist_extra[: 5 * 128], np.int64) << 26) | (
+                np.asarray(rep.dist_offset[: 5 * 128], np.int64)
+            )
+            dx_parts.append(_pad_table(dxv, 5))
+            for j, i in enumerate(part):
+                p = pres[i]
+                slot = slot_base + j
+                w0 = p.cmd_start_bit >> 5
+                rebased.append((slot, p.words[w0:]))
+                start_bits[slot] = p.cmd_start_bit & 31
+                mlens[slot] = p.mlen
+                for c in range(3):
+                    blen_init[c, slot] = min(rep.block_len[c], 1 << 28)
+                perm[slot] = i
+            slot_base += NSTREAM
+
+    max_words = max(r.shape[0] for _, r in rebased)
+    Wpad = -(-max_words // D) * D + D
+    wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
+    for slot, r in rebased:
+        g, rem = divmod(slot, NSTREAM)
+        wt[: r.shape[0], g * SUB + rem // LANES, rem % LANES] = r
+
+    scal = np.zeros((G * 5 * SUB, LANES), np.int32)
+    for g in range(G):
+        sl = slice(g * NSTREAM, (g + 1) * NSTREAM)
+        rows = [start_bits[sl], mlens[sl].astype(np.int32),
+                blen_init[0, sl], blen_init[1, sl], blen_init[2, sl]]
+        for r_i, row in enumerate(rows):
+            scal[(g * 5 + r_i) * SUB : (g * 5 + r_i + 1) * SUB, :] = (
+                row.reshape(SUB, LANES)
+            )
+
+    def stack(parts):
+        return np.concatenate(
+            [_replicate(p, p.shape[0] // 128) for p in parts]
+        )
+
+    return V3Batch(
+        wt=wt,
+        lit_t=stack(lit_parts), cmd_t=stack(cmd_parts),
+        dist_t=stack(dist_parts), bsw_t=stack(bsw_parts),
+        cmap_t=stack(cmap_parts), dx_t=stack(dx_parts),
+        scal=scal, mlens=mlens, n_streams=len(streams),
+        configs=tuple(configs), Wpad=Wpad, groups=G, perm=perm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fused kernel
+# ---------------------------------------------------------------------------
+
+def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
+           row_budget: int, use_dict: bool, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = (SUB, LANES)
+    G = len(configs)
+    H = V * 4
+    HALF = D // 2
+    assert V % FLUSH == 0 and n_out_rows % FLUSH == 0
+
+    # per-group chunk offsets into the stacked table inputs
+    def _offs(per):
+        out = [0]
+        for c in configs:
+            out.append(out[-1] + per(c))
+        return out
+
+    off_lit = _offs(lambda c: c.NL * LCH)
+    off_cmd = _offs(lambda c: c.NC * CCH)
+    off_dist = _offs(lambda c: c.ND * DCH)
+    off_bsw = [g * (3 * BTCH + 3 * BLCH) for g in range(G + 1)]
+    off_cmap = [g * CMCH for g in range(G + 1)]
+    off_dx = [g * 5 for g in range(G + 1)]
+
+    _, dict_k = _dict_chunks()
+    _, _, tf_k = _transform_tables()
+
+    def kernel(wt_ref, lit_ref, cmd_ref, dist_ref, bsw_ref, cmap_ref,
+               dx_ref, consts_ref, lut_ref, dict_ref, tfm_ref, tfs_ref,
+               scal_ref, out_ref, win, ring, sem_in, sem_out):
+        zeros_u = jnp.zeros(S, jnp.uint32)
+        zeros_i = jnp.zeros(S, jnp.int32)
+
+        dma0 = pltpu.make_async_copy(wt_ref.at[pl.ds(0, D)], win, sem_in)
+        dma0.start()
+        dma0.wait()
+
+        def chunk_lookup(tab_ref, base0, n_chunks, chunk_idx, lo):
+            """Entry at per-lane (chunk_idx, lo), chunk_idx in
+            [base0, base0+n_chunks): select chain over the chunks."""
+            acc = jnp.zeros(S, jnp.int32)
+            for c in range(base0, base0 + n_chunks):
+                got = jnp.take_along_axis(
+                    tab_ref[c * SUB:(c + 1) * SUB, :], lo, axis=1
+                )
+                acc = jnp.where(chunk_idx == c, got, acc)
+            return acc
+
+        def read_symbol(tab_ref, goff, tree_chunks, n_chunks, tree_idx, v15):
+            """Two-level decode from per-lane tree `tree_idx` inside a
+            group's tree-group stack."""
+            base = goff + tree_idx * tree_chunks
+            root_idx = (v15 & 0xFF).astype(jnp.int32)
+            e0 = chunk_lookup(tab_ref, goff, n_chunks,
+                              base + (root_idx >> 7), root_idx & 127)
+            bits0 = e0 >> 16
+            need_sub = bits0 > 8
+            sub_mask = (
+                (jnp.uint32(1) << jnp.clip(bits0, 0, 15).astype(jnp.uint32)) - 1
+            )
+            idx2 = root_idx + (e0 & 0xFFFF) + (
+                (v15 & sub_mask) >> 8
+            ).astype(jnp.int32)
+            idx2 = jnp.where(need_sub, idx2, 0)
+            e1 = chunk_lookup(tab_ref, goff, n_chunks,
+                              base + (idx2 >> 7), idx2 & 127)
+            sym = jnp.where(need_sub, e1 & 0xFFFF, e0 & 0xFFFF)
+            nb = jnp.where(need_sub, (e1 >> 16) + 8, bits0)
+            return sym, nb
+
+        def gather1(tab_ref, chunk, idx):
+            return jnp.take_along_axis(
+                tab_ref[chunk * SUB:(chunk + 1) * SUB, :], idx & 127, axis=1
+            )
+
+        def lut2(clo, p1, p2):
+            """ctx = LUT[clo+p1] | LUT[clo+256+p2] over the 16-chunk LUT."""
+            i1 = clo + p1
+            i2 = clo + 256 + p2
+            a = chunk_lookup(lut_ref, 0, 16, i1 >> 7, i1 & 127)
+            b = chunk_lookup(lut_ref, 0, 16, i2 >> 7, i2 & 127)
+            return a | b
+
+        def peek(b0, b1, b2, q, width_mask):
+            lsel = q >> 5
+            w0 = jnp.where(lsel == 0, b0, b1)
+            w1 = jnp.where(lsel == 0, b1, b2)
+            m = (q & 31).astype(jnp.uint32)
+            r = (w0 >> m) | jnp.where(
+                m == 0, jnp.uint32(0), w1 << ((32 - m) & 31)
+            )
+            return r & width_mask
+
+        def ring_read2(w0, gbase):
+            q = jax.lax.rem(w0, V)
+
+            def body(i, carry):
+                a0, a1, m_prev_i = carry
+                m_prev = m_prev_i > 0
+                for k in range(8):
+                    v = 8 * i + k
+                    rv = ring[gbase + v]
+                    m = q == v
+                    a0 = jnp.where(m, rv, a0)
+                    a1 = jnp.where(m_prev, rv, a1)
+                    m_prev = m
+                return a0, a1, m_prev.astype(jnp.int32)
+
+            a0, a1, _ = jax.lax.fori_loop(
+                0, V // 8, body, (zeros_u, zeros_u, zeros_i)
+            )
+            a1 = jnp.where(q == V - 1, ring[gbase], a1)
+            return a0, a1
+
+        def make_state(g):
+            mlen = scal_ref[(g * 5 + 1) * SUB:(g * 5 + 2) * SUB, :]
+            # initial clo for btype 0
+            clo0 = jnp.broadcast_to(
+                jnp.take_along_axis(
+                    cmap_ref[(off_cmap[g] + 5) * SUB:(off_cmap[g] + 5) * SUB + SUB, :],
+                    jnp.zeros(S, jnp.int32), axis=1,
+                ), S,
+            )
+            return dict(
+                phase=jnp.where(mlen > 0, INIT, DONE),
+                widx=zeros_i, b0=zeros_u, b1=zeros_u, b2=zeros_u,
+                avail=zeros_i,
+                mbl=mlen,
+                lit_rem=zeros_i, copy_len=zeros_i,
+                ins_code=zeros_i, cp_code=zeros_i, implicit=zeros_i,
+                dcode=zeros_i,
+                blen0=scal_ref[(g * 5 + 2) * SUB:(g * 5 + 3) * SUB, :],
+                blen1=scal_ref[(g * 5 + 3) * SUB:(g * 5 + 4) * SUB, :],
+                blen2=scal_ref[(g * 5 + 4) * SUB:(g * 5 + 5) * SUB, :],
+                bt0=zeros_i, bt0p=jnp.full(S, 1, jnp.int32),
+                bt1=zeros_i, bt1p=jnp.full(S, 1, jnp.int32),
+                bt2=zeros_i, bt2p=jnp.full(S, 1, jnp.int32),
+                clo=clo0,
+                p1=zeros_i, p2=zeros_i,
+                r0=jnp.full(S, 4, jnp.int32), r1=jnp.full(S, 11, jnp.int32),
+                r2=jnp.full(S, 15, jnp.int32), r3=jnp.full(S, 16, jnp.int32),
+                bsw_cat=zeros_i, bsw_code=zeros_i,
+                fifo_lo=zeros_u, fifo_hi=zeros_u, cnt=zeros_i, qp=zeros_i,
+                r_lane=zeros_i, cp_dist=zeros_i, cp_rem=zeros_i,
+                err=zeros_i,
+                d_rem=zeros_i, d_i=zeros_i, d_pre=zeros_i, d_bodyn=zeros_i,
+                d_woff=zeros_i, d_poff=zeros_i, d_soff=zeros_i, d_op=zeros_i,
+                d_clpos=zeros_i, d_cllen=zeros_i, d_clxp=zeros_i,
+                d_clxv=zeros_i, d_fdone=zeros_i,
+            )
+
+        def fifo_append(st, add_u64_lo, n):
+            sh = (8 * st["cnt"]).astype(jnp.uint32)
+            lo_add = jnp.where(sh < 32, add_u64_lo << (sh & 31), jnp.uint32(0))
+            hi_add = jnp.where(
+                sh < 32,
+                jnp.where(sh > 0, add_u64_lo >> ((32 - sh) & 31),
+                          jnp.uint32(0)),
+                add_u64_lo << ((sh - 32) & 31),
+            )
+            st["fifo_lo"] = st["fifo_lo"] | lo_add
+            st["fifo_hi"] = st["fifo_hi"] | hi_add
+            st["cnt"] = st["cnt"] + n
+            st["qp"] = st["qp"] + n
+
+        def track_p12(st, add, n, active):
+            b = [((add >> (8 * j)) & 0xFF).astype(jnp.int32) for j in range(4)]
+            last = jnp.where(
+                n >= 4, b[3],
+                jnp.where(n == 3, b[2], jnp.where(n == 2, b[1], b[0])),
+            )
+            prev = jnp.where(
+                n >= 4, b[2],
+                jnp.where(n == 3, b[1],
+                          jnp.where(n == 2, b[0], st["p1"])),
+            )
+            upd = active & (n > 0)
+            st["p2"] = jnp.where(upd, prev, st["p2"])
+            st["p1"] = jnp.where(upd, last, st["p1"])
+
+        def drain(st, gbase):
+            st = dict(st)
+            can = (st["cp_rem"] > 0) & (st["cnt"] <= 4) & (st["err"] == 0)
+            far = can & (st["cp_dist"] > H - 16)
+            st["err"] = st["err"] | jnp.where(far, ERR_FAR_DIST, 0)
+            can = can & ~far
+            e = jnp.where(can, jnp.minimum(st["cp_rem"], 4), 0)
+
+            src_base = st["qp"] - st["cp_dist"]
+            w0 = jnp.maximum(src_base, 0) >> 2
+            f0, f1 = ring_read2(w0, gbase)
+            fsh = ((src_base & 3) * 8).astype(jnp.uint32)
+            fw = (f0 >> fsh) | jnp.where(
+                fsh == 0, jnp.uint32(0), f1 << ((32 - fsh) & 31)
+            )
+            eb_off = st["cnt"] - st["cp_dist"]
+            add = zeros_u
+            appended = []
+            for j in range(4):
+                ring_b = (fw >> (8 * j)) & jnp.uint32(0xFF)
+                fi = eb_off + j
+                fsh2 = (8 * jnp.clip(fi, 0, 7)).astype(jnp.uint32)
+                fifo_b = jnp.where(
+                    fsh2 < 32,
+                    (st["fifo_lo"] >> (fsh2 & 31))
+                    | jnp.where(
+                        (fsh2 & 31) == 0, jnp.uint32(0),
+                        st["fifo_hi"] << ((32 - fsh2) & 31),
+                    ),
+                    st["fifo_hi"] >> ((fsh2 - 32) & 31),
+                ) & jnp.uint32(0xFF)
+                b = jnp.where(fi >= 0, fifo_b, ring_b)
+                for jj in range(j):
+                    b = jnp.where((j - st["cp_dist"]) == jj, appended[jj], b)
+                appended.append(b)
+                add = add | (b << (8 * j))
+            mask_e = (jnp.uint32(1) << (8 * e).astype(jnp.uint32)) - 1
+            mask_e = jnp.where(e >= 4, jnp.uint32(0xFFFFFFFF), mask_e)
+            fifo_append(st, add & mask_e, e)
+            track_p12(st, add & mask_e, e, can)
+            st["cp_rem"] = st["cp_rem"] - e
+            return st
+
+        def emit(st, flush_base, mlen, gbase):
+            st = dict(st)
+            P0 = 4 * st["r_lane"]
+            done = (st["err"] != 0) | (P0 >= mlen)
+            need = jnp.clip(mlen - P0, 0, 4)
+            can = (
+                ~done & (st["cnt"] >= need)
+                & (st["r_lane"] < flush_base + (V - FLUSH))
+            )
+            word = st["fifo_lo"]
+            q = jnp.where(can, jax.lax.rem(st["r_lane"], V), -1)
+
+            def wbody(i, _):
+                for k in range(8):
+                    v = 8 * i + k
+                    ring[gbase + v] = jnp.where(
+                        q == v, word, ring[gbase + v]
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, V // 8, wbody, 0)
+            st["fifo_lo"] = jnp.where(can, st["fifo_hi"], st["fifo_lo"])
+            st["fifo_hi"] = jnp.where(can, zeros_u, st["fifo_hi"])
+            st["cnt"] = jnp.where(can, jnp.maximum(st["cnt"] - 4, 0),
+                                  st["cnt"])
+            st["r_lane"] = st["r_lane"] + can.astype(jnp.int32)
+            return st
+
+        def dict_byte(st):
+            """DICT phase: one transformed dictionary byte per row."""
+            st = dict(st)
+            m = (st["phase"] == DICT) & (st["err"] == 0) & (st["cnt"] <= 6)
+            i = st["d_i"]
+            in_pre = i < st["d_pre"]
+            bi = i - st["d_pre"]
+            in_body = ~in_pre & (bi < st["d_bodyn"])
+            si = bi - st["d_bodyn"]
+
+            s_off = jnp.where(in_pre, st["d_poff"] + i, st["d_soff"] + si)
+            s_off = jnp.clip(s_off, 0, tf_k * 512 - 1)
+            sw_ = chunk_lookup(tfs_ref, 0, tf_k, s_off >> 9,
+                               (s_off >> 2) & 127)
+            s_b = (sw_ >> ((s_off & 3) * 8)) & 0xFF
+
+            d_off = jnp.clip(st["d_woff"] + bi, 0, dict_k * 512 - 1)
+            dw_ = chunk_lookup(dict_ref, 0, dict_k, d_off >> 9,
+                               (d_off >> 2) & 127)
+            d_b = (dw_ >> ((d_off & 3) * 8)) & 0xFF
+
+            # ferment (uppercase transforms): UTF-8 cluster state machine
+            ferm_on = in_body & (
+                ((st["d_op"] == 10) & (st["d_fdone"] == 0))
+                | (st["d_op"] == 11)
+            )
+            at_start = ferm_on & (st["d_clpos"] >= st["d_cllen"])
+            is_lo = (d_b >= 97) & (d_b <= 122)
+            cl_len = jnp.where(d_b < 0xC0, 1, jnp.where(d_b < 0xE0, 2, 3))
+            cl_xp = jnp.where(d_b < 0xC0, 0, jnp.where(d_b < 0xE0, 1, 2))
+            cl_xv = jnp.where(
+                d_b < 0xC0, jnp.where(is_lo, 32, 0),
+                jnp.where(d_b < 0xE0, 32, 5),
+            )
+            st["d_clpos"] = jnp.where(at_start, 0, st["d_clpos"])
+            st["d_cllen"] = jnp.where(at_start, cl_len, st["d_cllen"])
+            st["d_clxp"] = jnp.where(at_start, cl_xp, st["d_clxp"])
+            st["d_clxv"] = jnp.where(at_start, cl_xv, st["d_clxv"])
+            x = ferm_on & (st["d_clpos"] == st["d_clxp"])
+            d_b = jnp.where(x, d_b ^ st["d_clxv"], d_b)
+            fin_cluster = ferm_on & (st["d_clpos"] + 1 >= st["d_cllen"])
+            st["d_fdone"] = jnp.where(
+                fin_cluster & (st["d_op"] == 10), 1, st["d_fdone"]
+            )
+            st["d_clpos"] = st["d_clpos"] + jnp.where(ferm_on, 1, 0)
+
+            byte = jnp.where(in_body, d_b, s_b).astype(jnp.uint32) & jnp.uint32(0xFF)
+            st2 = dict(st)
+            n1 = jnp.where(m, 1, 0)
+            fifo_append(st2, byte, n1)
+            track_p12(st2, byte, n1, m)
+            for k2 in ("fifo_lo", "fifo_hi", "cnt", "qp", "p1", "p2"):
+                st[k2] = jnp.where(m, st2[k2], st[k2])
+            st["d_i"] = st["d_i"] + n1
+            st["d_rem"] = st["d_rem"] - n1
+            fin = m & (st["d_rem"] <= 0)
+            st["phase"] = jnp.where(
+                fin, jnp.where(st["mbl"] <= 0, DONE, CMD), st["phase"]
+            )
+            return st
+
+        def block_switch(st, cat, cfg, g, q, run_mask, b0, b1, b2, pk):
+            """Inline block-switch row for category `cat` (lanes in
+            run_mask with a zero block length).  Returns (st, q, did)."""
+            nbt = (cfg.NBT0, cfg.NBT1, cfg.NBT2)[cat]
+            if nbt < 2:
+                return st, q, jnp.zeros(S, jnp.bool_)
+            m = run_mask & (st[f"blen{cat}"] == 0)
+            v15 = peek(b0, b1, b2, q, jnp.uint32(0x7FFF))
+            tsym, tnb = read_symbol(
+                bsw_ref, off_bsw[g] + cat * BTCH, BTCH, BTCH, zeros_i, v15
+            )
+            q = q + jnp.where(m, tnb, 0)
+            v15 = peek(b0, b1, b2, q, jnp.uint32(0x7FFF))
+            lsym, lnb = read_symbol(
+                bsw_ref, off_bsw[g] + 3 * BTCH + cat * BLCH, BLCH, BLCH,
+                zeros_i, v15,
+            )
+            q = q + jnp.where(m, lnb, 0)
+            bt_cur = st[f"bt{cat}"]
+            bt = jnp.where(
+                tsym == 0, st[f"bt{cat}p"],
+                jnp.where(tsym == 1, bt_cur + 1, tsym - 2),
+            )
+            bt = jnp.where(bt >= nbt, bt - nbt, bt)
+            st[f"bt{cat}p"] = jnp.where(m, bt_cur, st[f"bt{cat}p"])
+            st[f"bt{cat}"] = jnp.where(m, bt, st[f"bt{cat}"])
+            if cat == 0:
+                clo = gather1(cmap_ref, off_cmap[g] + 5, bt)
+                st["clo"] = jnp.where(m, clo, st["clo"])
+            pack = gather1(consts_ref, 1, jnp.clip(lsym, 0, 25))
+            nbx = pack >> 20
+            offx = pack & 0xFFFFF
+            can_x = m & (q + nbx <= 32)
+            xv = peek(b0, b1, b2, q, jnp.uint32(0xFFFFFF)) & (
+                (jnp.uint32(1) << (nbx.astype(jnp.uint32) & 31)) - 1
+            )
+            q = q + jnp.where(can_x, nbx, 0)
+            st[f"blen{cat}"] = jnp.where(
+                can_x, offx + xv.astype(jnp.int32), st[f"blen{cat}"]
+            )
+            spill = m & ~can_x
+            st["bsw_cat"] = jnp.where(spill, cat, st["bsw_cat"])
+            st["bsw_code"] = jnp.where(spill, lsym, st["bsw_code"])
+            st["phase"] = jnp.where(spill, BSW2, st["phase"])
+            return st, q, m
+
+        def row_step(st, g, cfg, start_bit, mlen, filled, flush_base):
+            gbase = g * V
+            st = dict(st)
+            live = st["phase"] < DONE
+
+            # ---- masked bit refill ----
+            need = live & (st["avail"] <= 64) & (st["widx"] < filled)
+            p_rel = st["widx"] & (D - 1)
+            acc = zeros_u
+            for d in range(D):
+                acc = jnp.where(
+                    p_rel == d, win[d, g * SUB:(g + 1) * SUB, :], acc
+                )
+            sh = (st["avail"] & 31).astype(jnp.uint32)
+            limb = st["avail"] >> 5
+            lo_part = jnp.where(need, acc << sh, jnp.uint32(0))
+            hi_part = jnp.where(
+                need & (sh > 0), acc >> ((32 - sh) & 31), jnp.uint32(0)
+            )
+            st["b0"] = st["b0"] | jnp.where(limb == 0, lo_part, jnp.uint32(0))
+            st["b1"] = st["b1"] | jnp.where(
+                limb == 0, hi_part,
+                jnp.where(limb == 1, lo_part, jnp.uint32(0)),
+            )
+            st["b2"] = st["b2"] | jnp.where(
+                limb == 1, hi_part,
+                jnp.where(limb == 2, lo_part, jnp.uint32(0)),
+            )
+            st["avail"] = st["avail"] + jnp.where(need, 32, 0)
+            st["widx"] = st["widx"] + jnp.where(need, 1, 0)
+
+            # ---- byte-production side (always runs) ----
+            st = drain(st, gbase)
+            if use_dict:
+                st = dict_byte(st)
+
+            # ---- entropy step (only when no copy/dict is in flight) ----
+            phase0 = st["phase"]
+            run = (
+                live & (st["cp_rem"] == 0) & (st["err"] == 0)
+                & (phase0 != DICT)
+                & ((st["avail"] >= 65)
+                   | ((phase0 == INIT) & (st["avail"] >= 32)))
+            )
+            b0, b1, b2 = st["b0"], st["b1"], st["b2"]
+            q = zeros_i
+
+            def pk(width):
+                return peek(b0, b1, b2, q, jnp.uint32((1 << width) - 1))
+
+            # INIT
+            m = run & (phase0 == INIT)
+            q = q + jnp.where(m, start_bit, 0)
+            st["phase"] = jnp.where(m, CMD, st["phase"])
+
+            # ---- CMD (+ inline cmd block switch) ----
+            m_all = run & (phase0 == CMD)
+            st, q, did_sw = block_switch(st, 1, cfg, g, q, m_all, b0, b1, b2, pk)
+            m = m_all & ~did_sw
+            st["blen1"] = st["blen1"] - jnp.where(m, 1, 0)
+            v15 = pk(15)
+            sym, nb = read_symbol(
+                cmd_ref, off_cmd[g], CCH, cfg.NC * CCH, st["bt1"], v15
+            )
+            cell = sym >> 6
+            range_idx = jnp.where(cell < 2, cell, cell - 2)
+            ins_code = ((0x29850 >> (2 * range_idx)) & 3) * 8 + ((sym >> 3) & 7)
+            cp_code = ((0x26244 >> (2 * range_idx)) & 3) * 8 + (sym & 7)
+            st["ins_code"] = jnp.where(m, ins_code, st["ins_code"])
+            st["cp_code"] = jnp.where(m, cp_code, st["cp_code"])
+            st["implicit"] = jnp.where(
+                m, (cell < 2).astype(jnp.int32), st["implicit"]
+            )
+            ins_pack = gather1(consts_ref, 0, ins_code)
+            cp_pack = gather1(consts_ref, 0, cp_code + 64)
+            nb_i = ins_pack >> 20
+            off_i = ins_pack & 0xFFFFF
+            nb_c = cp_pack >> 20
+            off_c = cp_pack & 0xFFFFF
+            q = q + jnp.where(m, nb, 0)
+            can_i = m & (q + nb_i <= 32)
+            iv = pk(24) & ((jnp.uint32(1) << (nb_i.astype(jnp.uint32) & 31)) - 1)
+            st["lit_rem"] = jnp.where(
+                can_i, off_i + iv.astype(jnp.int32), st["lit_rem"]
+            )
+            q = q + jnp.where(can_i, nb_i, 0)
+            can_c = can_i & (q + nb_c <= 32)
+            cv = pk(24) & ((jnp.uint32(1) << (nb_c.astype(jnp.uint32) & 31)) - 1)
+            st["copy_len"] = jnp.where(
+                can_c, off_c + cv.astype(jnp.int32), st["copy_len"]
+            )
+            q = q + jnp.where(can_c, nb_c, 0)
+            nxt = jnp.where(
+                ~can_i, INS_EX,
+                jnp.where(~can_c, CP_EX,
+                          jnp.where(st["lit_rem"] > 0, LIT, DIST)),
+            )
+            st["phase"] = jnp.where(m, nxt, st["phase"])
+
+            # ---- INS_EX ----
+            m = run & (phase0 == INS_EX)
+            ins_pack = gather1(consts_ref, 0, st["ins_code"])
+            nb_i = ins_pack >> 20
+            off_i = ins_pack & 0xFFFFF
+            iv = pk(24) & ((jnp.uint32(1) << (nb_i.astype(jnp.uint32) & 31)) - 1)
+            st["lit_rem"] = jnp.where(
+                m, off_i + iv.astype(jnp.int32), st["lit_rem"]
+            )
+            q = q + jnp.where(m, nb_i, 0)
+            cp_pack = gather1(consts_ref, 0, st["cp_code"] + 64)
+            nb_c = cp_pack >> 20
+            off_c = cp_pack & 0xFFFFF
+            can_c = m & (q + nb_c <= 32)
+            cv = pk(24) & ((jnp.uint32(1) << (nb_c.astype(jnp.uint32) & 31)) - 1)
+            st["copy_len"] = jnp.where(
+                can_c, off_c + cv.astype(jnp.int32), st["copy_len"]
+            )
+            q = q + jnp.where(can_c, nb_c, 0)
+            st["phase"] = jnp.where(
+                m,
+                jnp.where(~can_c, CP_EX,
+                          jnp.where(st["lit_rem"] > 0, LIT, DIST)),
+                st["phase"],
+            )
+
+            # ---- CP_EX ----
+            m = run & (phase0 == CP_EX)
+            cp_pack = gather1(consts_ref, 0, st["cp_code"] + 64)
+            nb_c = cp_pack >> 20
+            off_c = cp_pack & 0xFFFFF
+            cv = pk(24) & ((jnp.uint32(1) << (nb_c.astype(jnp.uint32) & 31)) - 1)
+            st["copy_len"] = jnp.where(
+                m, off_c + cv.astype(jnp.int32), st["copy_len"]
+            )
+            q = q + jnp.where(m, nb_c, 0)
+            st["phase"] = jnp.where(
+                m, jnp.where(st["lit_rem"] > 0, LIT, DIST), st["phase"]
+            )
+
+            # ---- BSW2: spilled block-length extra bits ----
+            m = run & (phase0 == BSW2)
+            pack = gather1(consts_ref, 1, jnp.clip(st["bsw_code"], 0, 25))
+            nbx = pack >> 20
+            offx = pack & 0xFFFFF
+            xv = pk(24) & ((jnp.uint32(1) << (nbx.astype(jnp.uint32) & 31)) - 1)
+            q = q + jnp.where(m, nbx, 0)
+            new_blen = offx + xv.astype(jnp.int32)
+            for cat in range(3):
+                st[f"blen{cat}"] = jnp.where(
+                    m & (st["bsw_cat"] == cat), new_blen, st[f"blen{cat}"]
+                )
+            st["phase"] = jnp.where(
+                m,
+                jnp.where(st["bsw_cat"] == 0, LIT,
+                          jnp.where(st["bsw_cat"] == 1, CMD, DIST)),
+                st["phase"],
+            )
+
+            # ---- LIT (+ inline literal block switch), up to 2 per row ----
+            m_all = run & (phase0 == LIT) & (st["cnt"] <= 5)
+            st, q, did_sw = block_switch(st, 0, cfg, g, q, m_all, b0, b1, b2, pk)
+            m = m_all & ~did_sw & (st["blen0"] > 0)
+
+            def lit_tree(p1, p2):
+                if cfg.trivial_lit:
+                    cidx = st["bt0"] << 6
+                else:
+                    cidx = (st["bt0"] << 6) + lut2(st["clo"], p1, p2)
+                return chunk_lookup(
+                    cmap_ref, off_cmap[g], 4,
+                    off_cmap[g] + (cidx >> 7), cidx & 127,
+                )
+
+            t1 = lit_tree(st["p1"], st["p2"])
+            v15 = pk(15)
+            sym0, nb0 = read_symbol(
+                lit_ref, off_lit[g], LCH, cfg.NL * LCH, t1, v15
+            )
+            q = q + jnp.where(m, nb0, 0)
+            have2 = (
+                m & (st["lit_rem"] >= 2) & (st["mbl"] >= 2)
+                & (st["blen0"] >= 2)
+            )
+            t2 = lit_tree(sym0, st["p1"])
+            v15 = pk(15)
+            sym1, nb1 = read_symbol(
+                lit_ref, off_lit[g], LCH, cfg.NL * LCH, t2, v15
+            )
+            q = q + jnp.where(have2, nb1, 0)
+            took = jnp.where(m, 1 + have2.astype(jnp.int32), 0)
+            add = (
+                sym0.astype(jnp.uint32)
+                | jnp.where(have2, sym1.astype(jnp.uint32) << 8,
+                            jnp.uint32(0))
+            )
+            st2 = dict(st)
+            fifo_append(st2, add, took)
+            track_p12(st2, add, took, m)
+            for k2 in ("fifo_lo", "fifo_hi", "cnt", "qp", "p1", "p2"):
+                st[k2] = jnp.where(m, st2[k2], st[k2])
+            st["blen0"] = st["blen0"] - took
+            st["lit_rem"] = st["lit_rem"] - took
+            st["mbl"] = st["mbl"] - took
+            done_mb = m & (st["mbl"] <= 0)
+            st["phase"] = jnp.where(
+                done_mb, DONE,
+                jnp.where(m & (st["lit_rem"] <= 0), DIST, st["phase"]),
+            )
+
+            # ---- DIST (+ inline distance block switch) ----
+            m_all = run & (phase0 == DIST)
+            is_imp = st["implicit"] == 1
+            st, q, did_sw = block_switch(
+                st, 2, cfg, g, q, m_all & ~is_imp, b0, b1, b2, pk
+            )
+            m = m_all & ~did_sw
+            m_read = m & ~is_imp
+            st["blen2"] = st["blen2"] - jnp.where(m_read, 1, 0)
+            dctx = jnp.minimum(st["copy_len"], 5) - 2
+            tree_d = gather1(
+                cmap_ref, off_cmap[g] + 4, (st["bt2"] << 2) + dctx
+            )
+            v15 = pk(15)
+            sym, nb = read_symbol(
+                dist_ref, off_dist[g], DCH, cfg.ND * DCH, tree_d, v15
+            )
+            q = q + jnp.where(m_read, nb, 0)
+            dcode = jnp.where(m_read, sym, jnp.where(m, -1, st["dcode"]))
+            st["dcode"] = dcode
+            is_short = (dcode >= 0) & (dcode < 16)
+            if cfg.ndirect > 0:
+                is_direct = (dcode >= 16) & (dcode < 16 + cfg.ndirect)
+            else:
+                is_direct = jnp.zeros(S, jnp.bool_)
+            is_long = dcode >= 16 + cfg.ndirect
+            sp = gather1(consts_ref, 0, jnp.clip(dcode, 0, 15) + 96)
+            k_idx = sp >> 4
+            delta = (sp & 15) - 3
+            ring_val = jnp.where(
+                k_idx == 0, st["r0"],
+                jnp.where(k_idx == 1, st["r1"],
+                          jnp.where(k_idx == 2, st["r2"], st["r3"])),
+            )
+            short_dist = ring_val + delta
+            # long codes: (extra<<26)|offset per-group lut; shared between
+            # DIST and the spilled DIST_EX phase (mutually exclusive)
+            m2 = run & (phase0 == DIST_EX)
+            dx_idx = jnp.where(m2, st["dcode"], dcode)
+            dxp = chunk_lookup(
+                dx_ref, off_dx[g], 5,
+                off_dx[g] + (jnp.clip(dx_idx, 0, 639) >> 7),
+                jnp.clip(dx_idx, 0, 639) & 127,
+            )
+            nbx = dxp >> 26
+            offx = dxp & 0x3FFFFFF
+            can_x = m & is_long & (q + nbx <= 32)
+            xv = pk(24) & ((jnp.uint32(1) << (nbx.astype(jnp.uint32) & 31)) - 1)
+            q = q + jnp.where(can_x, nbx, 0)
+            long_dist = offx + (xv.astype(jnp.int32) << cfg.npostfix)
+            distance = jnp.where(
+                is_imp, st["r0"],
+                jnp.where(is_short, short_dist,
+                          jnp.where(is_direct, dcode - 16 + 1, long_dist)),
+            )
+            spill = m & is_long & ~can_x
+            m_fin = m & ~spill
+            st["phase"] = jnp.where(spill, DIST_EX, st["phase"])
+
+            # DIST_EX completion
+            q = q + jnp.where(m2, nbx, 0)
+            distance = jnp.where(
+                m2, offx + (xv.astype(jnp.int32) << cfg.npostfix), distance
+            )
+            m_fin = m_fin | m2
+
+            # ---- finalize distance: regular copy or dictionary ----
+            pos = mlen - st["mbl"]
+            max_dist = jnp.minimum(pos, cfg.maxbw)
+            is_dict_ref = m_fin & (distance > max_dist)
+            m_reg = m_fin & ~is_dict_ref
+            bad_reg = m_reg & (
+                (distance < 1) | (st["copy_len"] > st["mbl"])
+            )
+            ok = m_reg & ~bad_reg
+            push = ok & ~is_imp & (st["dcode"] > 0)
+            st["r3"] = jnp.where(push, st["r2"], st["r3"])
+            st["r2"] = jnp.where(push, st["r1"], st["r2"])
+            st["r1"] = jnp.where(push, st["r0"], st["r1"])
+            st["r0"] = jnp.where(push, distance, st["r0"])
+            st["cp_dist"] = jnp.where(ok, distance, st["cp_dist"])
+            st["cp_rem"] = jnp.where(ok, st["copy_len"], st["cp_rem"])
+            st["mbl"] = jnp.where(ok, st["mbl"] - st["copy_len"], st["mbl"])
+            st["err"] = st["err"] | jnp.where(bad_reg, ERR_STREAM, 0)
+            st["phase"] = jnp.where(
+                ok, jnp.where(st["mbl"] <= 0, DONE, CMD), st["phase"]
+            )
+
+            if use_dict:
+                # static-dictionary reference (engine.ts:903-945)
+                wlen = st["copy_len"]
+                addr = distance - max_dist - 1
+                shift = gather1(consts_ref, 1, jnp.clip(wlen, 0, 31) + 32)
+                bad_d = is_dict_ref & (
+                    (distance > 0x7FFFFFFC) | (wlen > 31) | (wlen < 4)
+                    | (shift == 0)
+                )
+                md = is_dict_ref & ~bad_d
+                mask_w = (
+                    (jnp.uint32(1) << jnp.clip(shift, 0, 30).astype(jnp.uint32))
+                    - 1
+                ).astype(jnp.int32)
+                word_idx = addr & mask_w
+                tfi = jax.lax.shift_right_logical(
+                    addr, jnp.clip(shift, 0, 30)
+                )
+                bad_t = md & (tfi >= 121)
+                md = md & ~bad_t
+                meta1 = gather1(tfm_ref, 0, jnp.clip(2 * tfi, 0, 255))
+                meta2 = gather1(tfm_ref, 0, jnp.clip(2 * tfi + 1, 0, 255))
+                pre_off = meta1 >> 9
+                pre_len = (meta1 >> 5) & 15
+                op = meta1 & 31
+                suf_off = meta2 >> 4
+                suf_len = meta2 & 15
+                omit_first = jnp.where(
+                    (op >= 12) & (op <= 20), op - 11, 0
+                )
+                omit_first = jnp.minimum(omit_first, wlen)
+                omit_last = jnp.where((op >= 1) & (op <= 9), op, 0)
+                body_len = jnp.maximum(wlen - omit_first - omit_last, 0)
+                base_off = gather1(consts_ref, 1, jnp.clip(wlen, 0, 31) + 64)
+                woff = base_off + wlen * word_idx + omit_first
+                total = pre_len + body_len + suf_len
+                bad_len = md & (total > st["mbl"])
+                md = md & ~bad_len
+                st["d_rem"] = jnp.where(md, total, st["d_rem"])
+                st["d_i"] = jnp.where(md, 0, st["d_i"])
+                st["d_pre"] = jnp.where(md, pre_len, st["d_pre"])
+                st["d_bodyn"] = jnp.where(md, body_len, st["d_bodyn"])
+                st["d_woff"] = jnp.where(md, woff, st["d_woff"])
+                st["d_poff"] = jnp.where(md, pre_off, st["d_poff"])
+                st["d_soff"] = jnp.where(md, suf_off, st["d_soff"])
+                st["d_op"] = jnp.where(md, op, st["d_op"])
+                st["d_clpos"] = jnp.where(md, 0, st["d_clpos"])
+                st["d_cllen"] = jnp.where(md, 0, st["d_cllen"])
+                st["d_fdone"] = jnp.where(md, 0, st["d_fdone"])
+                st["mbl"] = jnp.where(md, st["mbl"] - total, st["mbl"])
+                st["err"] = st["err"] | jnp.where(
+                    bad_d | bad_t | bad_len, ERR_STREAM, 0
+                )
+                st["phase"] = jnp.where(
+                    md & (total > 0), DICT,
+                    jnp.where(
+                        md, jnp.where(st["mbl"] <= 0, DONE, CMD), st["phase"]
+                    ),
+                )
+            else:
+                st["err"] = st["err"] | jnp.where(
+                    is_dict_ref, ERR_FAR_DIST, 0
+                )
+
+            # ---- consume q bits ----
+            lsel = q >> 5
+            c0 = jnp.where(lsel >= 1, b1, b0)
+            c1 = jnp.where(lsel >= 1, b2, b1)
+            c2 = jnp.where(lsel >= 1, jnp.uint32(0), b2)
+            mq = (q & 31).astype(jnp.uint32)
+            st["b0"] = (c0 >> mq) | jnp.where(
+                mq == 0, jnp.uint32(0), c1 << ((32 - mq) & 31)
+            )
+            st["b1"] = (c1 >> mq) | jnp.where(
+                mq == 0, jnp.uint32(0), c2 << ((32 - mq) & 31)
+            )
+            st["b2"] = c2 >> mq
+            st["avail"] = st["avail"] - q
+            return st
+
+        # ---- main loop over all groups ----
+        inits = [make_state(g) for g in range(G)]
+        order = sorted(inits[0].keys())
+        start_bits = [
+            scal_ref[(g * 5 + 0) * SUB:(g * 5 + 1) * SUB, :] for g in range(G)
+        ]
+        mlens_g = [
+            scal_ref[(g * 5 + 1) * SUB:(g * 5 + 2) * SUB, :] for g in range(G)
+        ]
+
+        def to_tuple(sts):
+            return tuple(s[k] for s in sts for k in order)
+
+        def to_dicts(t):
+            n = len(order)
+            return [dict(zip(order, t[i * n:(i + 1) * n])) for i in range(G)]
+
+        def body(carry):
+            row, flush_base, filled, stag, st_t = carry
+            sts = to_dicts(st_t)
+
+            prog_prev = jnp.int32(0)
+            for st in sts:
+                prog_prev = prog_prev + jnp.sum(st["r_lane"]) + jnp.sum(st["qp"])
+
+            # window advance by min live widx
+            minp = jnp.int32(1 << 30)
+            for st in sts:
+                active = st["phase"] < DONE
+                minp = jnp.minimum(
+                    minp,
+                    jnp.min(jnp.where(active, st["widx"], jnp.int32(1 << 30))),
+                )
+            do_refill = (minp >= filled - HALF) & (filled + HALF <= Wpad)
+
+            @pl.when(do_refill)
+            def _():
+                slot = jax.lax.rem(filled, D)
+                dma = pltpu.make_async_copy(
+                    wt_ref.at[pl.ds(filled, HALF)],
+                    win.at[pl.ds(slot, HALF)],
+                    sem_in,
+                )
+                dma.start()
+                dma.wait()
+
+            filled = jnp.where(do_refill, filled + HALF, filled)
+
+            new_sts = []
+            min_r = jnp.int32(1 << 30)
+            prog_new = jnp.int32(0)
+            for g in range(G):
+                st = row_step(
+                    sts[g], g, configs[g], start_bits[g], mlens_g[g],
+                    filled, flush_base,
+                )
+                st = emit(st, flush_base, mlens_g[g], g * V)
+                live = (st["err"] == 0) & (4 * st["r_lane"] < mlens_g[g])
+                min_r = jnp.minimum(
+                    min_r,
+                    jnp.min(jnp.where(live, st["r_lane"], jnp.int32(1 << 30))),
+                )
+                prog_new = prog_new + jnp.sum(st["r_lane"]) + jnp.sum(st["qp"])
+                new_sts.append(st)
+
+            @pl.when(flush_base + FLUSH <= min_r)
+            def _():
+                for g in range(G):
+                    dma = pltpu.make_async_copy(
+                        ring.at[pl.ds(
+                            g * V + jax.lax.rem(flush_base, V), FLUSH
+                        )],
+                        out_ref.at[pl.ds(
+                            g * (n_out_rows + 8) + flush_base, FLUSH
+                        )],
+                        sem_out,
+                    )
+                    dma.start()
+                    dma.wait()
+
+            flush_base = jnp.where(
+                flush_base + FLUSH <= min_r, flush_base + FLUSH, flush_base
+            )
+
+            stuck = prog_new == prog_prev
+            stag = jnp.where(stuck, stag + 1, 0)
+            for st in new_sts:
+                st["err"] = st["err"] | jnp.where(
+                    (stag > STAG_LIMIT) & (st["err"] == 0)
+                    & (st["phase"] < DONE),
+                    ERR_STREAM, 0,
+                )
+            return row + 1, flush_base, filled, stag, to_tuple(new_sts)
+
+        def cond(carry):
+            row, flush_base, filled, stag, st_t = carry
+            sts = to_dicts(st_t)
+            alive = jnp.zeros((), jnp.bool_)
+            for g in range(G):
+                alive = alive | jnp.any(
+                    (sts[g]["err"] == 0) & (4 * sts[g]["r_lane"] < mlens_g[g])
+                )
+            return (row < row_budget) & alive
+
+        row, flush_base, filled, stag, st_t = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(D), jnp.int32(0),
+             to_tuple(inits)),
+        )
+        sts = to_dicts(st_t)
+
+        for g in range(G):
+            st = sts[g]
+            short = (st["err"] == 0) & (4 * st["r_lane"] < mlens_g[g]) & (
+                mlens_g[g] > 0
+            )
+            st["err"] = st["err"] | jnp.where(short, ERR_STREAM, 0)
+
+        # flush remaining blocks per group
+        n_left = (n_out_rows - flush_base) // FLUSH
+
+        def fbody(i, fb):
+            for g in range(G):
+                dma = pltpu.make_async_copy(
+                    ring.at[pl.ds(g * V + jax.lax.rem(fb, V), FLUSH)],
+                    out_ref.at[pl.ds(g * (n_out_rows + 8) + fb, FLUSH)],
+                    sem_out,
+                )
+                dma.start()
+                dma.wait()
+            return fb + FLUSH
+
+        jax.lax.fori_loop(0, n_left, fbody, flush_base)
+
+        # status tail per group (reuse ring rows 0..7 as staging)
+        for g in range(G):
+            st = sts[g]
+            ring[g * V + 0] = st["err"].astype(jnp.uint32)
+            ring[g * V + 1] = st["r_lane"].astype(jnp.uint32)
+            ring[g * V + 2] = st["phase"].astype(jnp.uint32)
+            ring[g * V + 3] = st["mbl"].astype(jnp.uint32)
+            ring[g * V + 4] = st["widx"].astype(jnp.uint32)
+            for k in range(5, 8):
+                ring[g * V + k] = jnp.zeros(S, jnp.uint32)
+            dma_tail = pltpu.make_async_copy(
+                ring.at[pl.ds(g * V, 8)],
+                out_ref.at[pl.ds(g * (n_out_rows + 8) + n_out_rows, 8)],
+                sem_out,
+            )
+            dma_tail.start()
+            dma_tail.wait()
+
+    def runner(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts,
+               lut, dict_t, tfm, tfs, scal):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (G * (n_out_rows + 8), SUB, LANES), jnp.uint32
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((D, G * SUB, LANES), jnp.uint32),       # bit window
+                pltpu.VMEM((G * V, SUB, LANES), jnp.uint32),       # ring(s)
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts, lut,
+          dict_t, tfm, tfs, scal)
+
+    return runner
+
+
+@functools.lru_cache(maxsize=8)
+def get_kernel_v3(Wpad: int, D: int, configs: tuple, V: int,
+                  n_out_rows: int, row_budget: int | None = None,
+                  use_dict: bool = True, interpret: bool = False):
+    import jax
+
+    if row_budget is None:
+        row_budget = 4 * n_out_rows + 4096
+    return jax.jit(
+        _build(Wpad, D, configs, V, n_out_rows, row_budget, use_dict,
+               interpret)
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+DEFAULT_H3 = 4096
+
+
+def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
+                 interpret: bool = False, use_dict: bool = True,
+                 row_budget: int | None = None):
+    """Run the fused kernel; returns (out (G,n_out+8,8,128) np, n_out_rows).
+
+    Rows n_out..n_out+4 of each group: err, r_lane, phase, mbl, widx."""
+    import jax.numpy as jnp
+
+    V = H // 4
+    max_mlen = int(batch.mlens.max()) if batch.mlens.size else 0
+    n_out_rows = max(FLUSH, _round_up(-(-max_mlen // 4), FLUSH))
+    dict_t, _ = _dict_chunks()
+    tfm, tfs, _ = _transform_tables()
+    kernel = get_kernel_v3(
+        batch.Wpad, D, batch.configs, V, n_out_rows, row_budget,
+        use_dict, interpret,
+    )
+    out = kernel(
+        jnp.asarray(batch.wt), jnp.asarray(batch.lit_t),
+        jnp.asarray(batch.cmd_t), jnp.asarray(batch.dist_t),
+        jnp.asarray(batch.bsw_t), jnp.asarray(batch.cmap_t),
+        jnp.asarray(batch.dx_t), jnp.asarray(_build_consts()),
+        jnp.asarray(_context_lut_chunks()), jnp.asarray(dict_t),
+        jnp.asarray(tfm), jnp.asarray(tfs), jnp.asarray(batch.scal),
+    )
+    return (
+        np.asarray(out).reshape(batch.groups, n_out_rows + 8, SUB, LANES),
+        n_out_rows,
+    )
+
+
+def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
+                    interpret: bool = False, use_dict: bool = True,
+                    max_groups: int = 4) -> list[bytes]:
+    """Full-format device decode with per-lane host fallback.
+
+    Any single-compressed-metablock stream is device-eligible regardless of
+    entropy layout (context maps, block switching, tree groups, static
+    dictionary); lanes whose distances exceed the VMEM ring window flag out
+    and re-decode on host.  Ineligible stream shapes decode on host."""
+    from ..decode import decode as host_decode
+    from .pallas_decode2 import _note_fallbacks
+
+    batch = preflight_v3(streams, max_groups=max_groups)
+    if batch is None:
+        return [host_decode(s) for s in streams]
+    out, n_out_rows = run_batch_v3(
+        batch, H=H, interpret=interpret, use_dict=use_dict
+    )
+    errs = out[:, n_out_rows].reshape(-1)
+    words = out[:, :n_out_rows]
+    by_stream = np.transpose(words, (0, 2, 3, 1)).reshape(
+        batch.groups * NSTREAM, -1
+    )
+    raw = np.ascontiguousarray(by_stream).astype("<u4").view(np.uint8)
+    raw = raw.reshape(batch.groups * NSTREAM, -1)
+    results: list[bytes | None] = [None] * batch.n_streams
+    n_fallback = 0
+    for slot in range(batch.groups * NSTREAM):
+        i = int(batch.perm[slot]) if batch.perm is not None else slot
+        if i < 0 or i >= batch.n_streams:
+            continue
+        if errs[slot] != 0:
+            n_fallback += 1
+            results[i] = host_decode(streams[i])
+        else:
+            results[i] = bytes(raw[slot, : batch.mlens[slot]])
+    _note_fallbacks(batch.n_streams, n_fallback)
+    return results  # type: ignore[return-value]

@@ -12,29 +12,32 @@ scalar-CPU design with no analog here):
 
 * **History ring + one-hot sweep.**  The last H bytes of every stream live
   in VMEM as (V=H/4, 8, 128) u32, lane = stream, slot = absolute output
-  word index mod V.  A per-lane read of words w0,w0+1 is a single sweep
-  over the V ring vregs with one compare and two selects per vreg (the
-  compare for w0+1 reuses the previous iteration's compare for w0) — the
+  word index mod V.  A per-lane read of words w0..w0+2 is a single sweep
+  over the V ring vregs with ONE compare and three selects per vreg (the
+  w0+1/w0+2 compares reuse the previous iterations' results) — the
   measured-cheapest per-lane gather on this hardware (XLA gather: ~0.07 G
   elem/s; tpu.dynamic_gather: lane-shared tables only).  Writes are a
-  symmetric scatter sweep.
+  symmetric two-word scatter sweep.  The sweeps are O(V) per row, so the
+  kernel amortizes them over EIGHT bytes per lane per row (round 2 moved
+  four): drain pulls 8 B of an active copy, emission retires 2 ring words.
 * **Uniform token intake.**  The entropy kernel produced every lane's
   token for shared row r in lockstep, so resolve re-reads that shared row
-  axis: one scalar-indexed read per row from a small (DT, 8, 128) sliding
-  VMEM window — O(1), where a per-lane row pointer would cost an O(window)
-  one-hot gather over an unbounded window (lanes consume token rows at
-  data-dependent rates).  Each lane parks its token in a K-deep register
-  FIFO until its byte stream reaches it; the shared row cursor advances
-  only when every still-buffering lane has space.
+  axis: two consecutive rows per kernel row from a (DT, 8, 128) sliding
+  VMEM window (scalar-indexed, O(1)) — matching the 2-pull consumption rate
+  (a 1-row intake bounds literal-heavy lanes at half speed).  Each lane
+  parks its token in a K-deep register FIFO until its byte stream reaches
+  it; the shared row cursor advances only when every still-buffering lane
+  has space.
 * **Per-lane progress, ordered byte FIFO.**  Each lane independently pulls
-  buffered tokens (literals append to an 8-byte FIFO; copies drain into it
-  at up to 4 B/row from the ring) and emits one output word per row at its
-  own pace — no global emission barrier, so one lane's token starvation or
-  long copy drain can throttle but never wedge the others.  Output blocks
-  flush to HBM as the minimum live lane row passes them; the flush
-  frontier in turn caps how far ahead a lane may run (V - FLUSH rows).
-* **Copies with dist < 4** replicate from bytes appended earlier in the
-  same row / still in the FIFO; dist in [4, H-16] reads the ring;
+  buffered tokens (literals append to a 12-byte FIFO; copies drain into it
+  at up to 8 B/row from the ring) and emits up to two output words per row
+  at its own pace — no global emission barrier, so one lane's token
+  starvation or long copy drain can throttle but never wedge the others.
+  Output blocks flush to HBM as the minimum live lane row passes them; the
+  flush frontier in turn caps how far ahead a lane may run (V - FLUSH
+  rows).
+* **Copies with dist < 8** replicate from bytes appended earlier in the
+  same row / still in the FIFO; dist in [8, H-16] reads the ring;
   dist > H-16 flags the lane (host fallback).  The device encoder avoids
   far distances by construction (max_distance, ops/device_encode.py).
 
@@ -101,46 +104,43 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         dma0.start()
         dma0.wait()
 
-        def ring_read2(w0):
-            """Per-lane ring words ((w0) % V, (w0+1) % V) via one-hot sweep.
-
-            Manually 8x-unrolled fori (Mosaic supports only full/no unroll);
-            the w0+1 compare reuses the previous step's w0 compare."""
+        def ring_read3(w0):
+            """Per-lane ring words (w0, w0+1, w0+2) mod V via one chained
+            one-hot sweep (manually 8x-unrolled fori; Mosaic supports only
+            full/no unroll).  Carries as i32: Mosaic cannot round-trip i1
+            loop carries."""
             q = jax.lax.rem(w0, V)
 
             def body(i, carry):
-                a0, a1, m_prev_i = carry   # carry as i32: Mosaic cannot
-                m_prev = m_prev_i > 0      # round-trip i1 loop carries
+                a0, a1, a2, m1_i, m2_i = carry
+                m1 = m1_i > 0     # prev iteration matched w0
+                m2 = m2_i > 0     # prev-prev matched w0
                 for k in range(8):
                     v = 8 * i + k
                     rv = ring[v]
                     m = q == v
                     a0 = jnp.where(m, rv, a0)
-                    a1 = jnp.where(m_prev, rv, a1)
-                    m_prev = m
-                return a0, a1, m_prev.astype(jnp.int32)
+                    a1 = jnp.where(m1, rv, a1)
+                    a2 = jnp.where(m2, rv, a2)
+                    m2 = m1
+                    m1 = m
+                return a0, a1, a2, m1.astype(jnp.int32), m2.astype(jnp.int32)
 
-            a0, a1, _ = jax.lax.fori_loop(
-                0, V // 8, body, (zeros_u, zeros_u, zeros_i)
+            a0, a1, a2, _, _ = jax.lax.fori_loop(
+                0, V // 8, body, (zeros_u, zeros_u, zeros_u, zeros_i, zeros_i)
             )
             a1 = jnp.where(q == V - 1, ring[0], a1)
-            return a0, a1
+            a2 = jnp.where(q == V - 1, ring[1], a2)
+            a2 = jnp.where(q == V - 2, ring[0], a2)
+            return a0, a1, a2
 
-        # One ordered byte FIFO per lane (lo|hi = 8 bytes, oldest in lo LSB):
-        # literal pulls append to it, the active copy DRAINS into it every
-        # row (decoupled from global emission — this is what makes copy
-        # tails < 4 bytes deadlock-free), emission takes 4 bytes from it.
-        # `qp` = bytes ever queued; emitted boundary = qp - cnt = 4*r_out.
-        #
-        # Token intake is UNIFORM: the entropy kernel produced every lane's
-        # token for shared row r in lockstep, so resolve re-reads that shared
-        # row axis with a single scalar-indexed window access per row (O(1),
-        # not an O(window) per-lane gather) and parks each lane's token in a
-        # K-deep register FIFO (tbuf) until the lane's byte stream reaches
-        # it.  The window never needs to slide backward and r_pop only
-        # advances when every still-buffering lane has space.
+        # One ordered byte FIFO per lane (f0|f1|f2 = 12 bytes, oldest in f0
+        # LSB): literal pulls append to it, the active copy DRAINS into it
+        # at 8 B/row (decoupled from global emission — this is what makes
+        # copy tails < 8 bytes deadlock-free), emission takes 4 or 8 bytes.
+        # `qp` = bytes ever queued; emitted boundary = qp - cnt = 4*r_lane.
         state0 = dict(
-            fifo_lo=zeros_u, fifo_hi=zeros_u, cnt=zeros_i,
+            f0=zeros_u, f1=zeros_u, f2=zeros_u, cnt=zeros_i,
             qp=zeros_i, r_lane=zeros_i,
             cp_dist=zeros_i, cp_rem=zeros_i,
             pend_len=jnp.full(S, -1, jnp.int32),
@@ -150,103 +150,127 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         )
         order = sorted(state0.keys())
 
-        def fifo_append(st, add_u64_lo, n):
-            """Append n (<=4) bytes (LSB-first in add) at offset cnt."""
+        def fifo_append8(st, add_lo, add_hi, n):
+            """Append n (<=8) bytes (LSB-first in add_lo|add_hi) at cnt."""
             sh = (8 * st["cnt"]).astype(jnp.uint32)
-            lo_add = jnp.where(sh < 32, add_u64_lo << (sh & 31), jnp.uint32(0))
-            hi_add = jnp.where(
-                sh < 32,
-                jnp.where(sh > 0, add_u64_lo >> ((32 - sh) & 31), jnp.uint32(0)),
-                add_u64_lo << ((sh - 32) & 31),
-            )
-            st["fifo_lo"] = st["fifo_lo"] | lo_add
-            st["fifo_hi"] = st["fifo_hi"] | hi_add
+            w = st["cnt"] >> 2           # word index of the append point
+            bit = sh & 31
+            hi_sh = (32 - bit) & 31
+            lo_lo = add_lo << bit
+            lo_hi = jnp.where(bit > 0, add_lo >> hi_sh, jnp.uint32(0))
+            hi_lo = add_hi << bit
+            hi_hi = jnp.where(bit > 0, add_hi >> hi_sh, jnp.uint32(0))
+            for widx, key in enumerate(("f0", "f1", "f2")):
+                contrib = (
+                    jnp.where(w == widx, lo_lo, jnp.uint32(0))
+                    | jnp.where(w == widx - 1, lo_hi | hi_lo, jnp.uint32(0))
+                    | jnp.where(w == widx - 2, hi_hi, jnp.uint32(0))
+                )
+                st[key] = st[key] | contrib
             st["cnt"] = st["cnt"] + n
             st["qp"] = st["qp"] + n
 
+        def fifo_byte(st, fi):
+            """Byte `fi` (0..11) of the FIFO."""
+            sh = (8 * jnp.clip(fi, 0, 11)).astype(jnp.uint32)
+            w = jnp.clip(fi, 0, 11) >> 2
+            word = jnp.where(
+                w == 0, st["f0"], jnp.where(w == 1, st["f1"], st["f2"])
+            )
+            return (word >> (sh & 31)) & jnp.uint32(0xFF)
+
         def drain(st):
-            """Move up to 4 bytes of the active copy into the FIFO."""
+            """Move up to 8 bytes of the active copy into the FIFO."""
             st = dict(st)
             can = (st["cp_rem"] > 0) & (st["cnt"] <= 4) & (st["err"] == 0)
             far = can & (st["cp_dist"] > H - 16)
             st["err"] = st["err"] | jnp.where(far, ERR_FAR_DIST, 0)
             can = can & ~far
-            e = jnp.where(can, jnp.minimum(st["cp_rem"], 4), 0)
+            e = jnp.where(can, jnp.minimum(st["cp_rem"], 8), 0)
 
             src_base = st["qp"] - st["cp_dist"]
             w0 = jnp.maximum(src_base, 0) >> 2
-            f0, f1 = ring_read2(w0)
+            f0, f1, f2 = ring_read3(w0)
             fsh = ((src_base & 3) * 8).astype(jnp.uint32)
-            fw = (f0 >> fsh) | jnp.where(
-                fsh == 0, jnp.uint32(0), f1 << ((32 - fsh) & 31)
-            )
-            # fifo as a byte source for dist < cnt (not yet emitted bytes)
+            hi_sh = (32 - fsh) & 31
+            nz = fsh > 0
+            fw_lo = (f0 >> fsh) | jnp.where(nz, f1 << hi_sh, jnp.uint32(0))
+            fw_hi = (f1 >> fsh) | jnp.where(nz, f2 << hi_sh, jnp.uint32(0))
+            # fifo as a byte source for dist <= cnt (not yet emitted bytes)
             eb_off = st["cnt"] - st["cp_dist"]   # fifo index of src byte 0
-            add = zeros_u
+            add_lo = zeros_u
+            add_hi = zeros_u
             appended = []
-            for j in range(4):
-                ring_b = (fw >> (8 * j)) & jnp.uint32(0xFF)
-                fi = eb_off + j                  # fifo byte index of source
-                fsh2 = (8 * jnp.clip(fi, 0, 7)).astype(jnp.uint32)
-                fifo_b = jnp.where(
-                    fsh2 < 32,
-                    (st["fifo_lo"] >> (fsh2 & 31))
-                    | jnp.where(
-                        (fsh2 & 31) == 0, jnp.uint32(0),
-                        st["fifo_hi"] << ((32 - fsh2) & 31),
-                    ),
-                    st["fifo_hi"] >> ((fsh2 - 32) & 31),
+            for j in range(8):
+                ring_b = (
+                    (fw_lo if j < 4 else fw_hi) >> (8 * (j & 3))
                 ) & jnp.uint32(0xFF)
+                fi = eb_off + j                  # fifo byte index of source
+                fifo_b = fifo_byte(st, fi)
                 b = jnp.where(fi >= 0, fifo_b, ring_b)
-                # dist < 4: source inside this row's appended run
+                # dist < 8: source inside this row's appended run
                 for jj in range(j):
-                    b = jnp.where(
-                        (j - st["cp_dist"]) == jj, appended[jj], b
-                    )
+                    b = jnp.where((j - st["cp_dist"]) == jj, appended[jj], b)
                 appended.append(b)
-                add = add | (b << (8 * j))
-            mask_e = (jnp.uint32(1) << (8 * e).astype(jnp.uint32)) - 1
-            mask_e = jnp.where(e >= 4, jnp.uint32(0xFFFFFFFF), mask_e)
-            fifo_append(st, add & mask_e, e)
+                if j < 4:
+                    add_lo = add_lo | (b << (8 * j))
+                else:
+                    add_hi = add_hi | (b << (8 * (j - 4)))
+            e_u = e.astype(jnp.uint32)
+            mask_lo = (jnp.uint32(1) << jnp.minimum(e_u, 4) * 8) - 1
+            mask_lo = jnp.where(e >= 4, jnp.uint32(0xFFFFFFFF), mask_lo)
+            mask_hi = jnp.where(
+                e > 4,
+                jnp.where(
+                    e >= 8, jnp.uint32(0xFFFFFFFF),
+                    (jnp.uint32(1) << ((e_u - 4) * 8)) - 1,
+                ),
+                jnp.uint32(0),
+            )
+            fifo_append8(st, add_lo & mask_lo, add_hi & mask_hi, e)
             st["cp_rem"] = st["cp_rem"] - e
             return st
 
-        def pop_uniform(st, r_pop, filled):
-            """Buffer every lane's token from shared window row r_pop.
+        def pop_uniform2(st, r_pop, filled):
+            """Buffer every lane's tokens from shared rows r_pop, r_pop+1.
 
-            Returns (st, popped): popped is SCALAR — either all lanes take
-            row r_pop into their buffers (pads skipped for free) or none do
-            (some still-buffering lane is full, or the window is dry).
-            """
+            Both rows are fetched by one chained sweep over the DT window;
+            each row pops only if every still-buffering lane has space
+            (pads skipped for free).  Returns (st, n_popped scalar)."""
             st = dict(st)
-            buffering = (st["err"] == 0) & (st["qp"] < mlen)
-            # plain boolean algebra: a select over i1 vectors does not lower
-            can_pop = (
-                jnp.all(~buffering | (st["tcnt"] < KBUF))
-                & (r_pop < filled)
-                & (r_pop < R_tok)
-            )
-            t = twin[jax.lax.rem(r_pop, DT)]
-            take = can_pop & buffering & (t != 0)
-            for k in range(KBUF):
-                st[f"tbuf{k}"] = jnp.where(
-                    take & (st["tcnt"] == k), t, st[f"tbuf{k}"]
+            t0 = twin[jax.lax.rem(r_pop, DT)]
+            t1 = twin[jax.lax.rem(r_pop + 1, DT)]
+
+            n_popped = jnp.int32(0)
+            for t, roff in ((t0, 0), (t1, 1)):
+                buffering = (st["err"] == 0) & (st["qp"] < mlen)
+                can_pop = (
+                    jnp.all(~buffering | (st["tcnt"] < KBUF))
+                    & (r_pop + roff < filled)
+                    & (r_pop + roff < R_tok)
+                    & (n_popped >= roff)   # row r+1 only after row r popped
                 )
-            st["tcnt"] = st["tcnt"] + take.astype(jnp.int32)
-            return st, can_pop
+                take = can_pop & buffering & (t != 0)
+                for k in range(KBUF):
+                    st[f"tbuf{k}"] = jnp.where(
+                        take & (st["tcnt"] == k), t, st[f"tbuf{k}"]
+                    )
+                st["tcnt"] = st["tcnt"] + take.astype(jnp.int32)
+                n_popped = n_popped + can_pop.astype(jnp.int32)
+            return st, n_popped
 
         def pull(st):
             """Consume the buffer head when the lane's byte stream needs it:
             literals append to the byte FIFO (order: only when no copy is
             active), copy tokens arm cp_dist/cp_rem."""
             st = dict(st)
-            t = st[f"tbuf0"]
+            t = st["tbuf0"]
             can = (
                 (st["tcnt"] > 0) & (st["cp_rem"] == 0)
                 & (st["err"] == 0) & (st["qp"] < mlen)
             )
             tag = (t >> 30).astype(jnp.int32)
-            is_lit = can & (tag == 0) & (st["cnt"] <= 5)
+            is_lit = can & (tag == 0) & (st["cnt"] <= 9)
             is_len = can & (tag == 1)
             is_dist = can & (tag == 2)
             is_fused = can & (tag == 3)
@@ -254,8 +278,8 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             cnt_t = ((t >> 24) & 3).astype(jnp.int32)
             payload = t & jnp.uint32(0xFFFFFF)
             st2 = dict(st)
-            fifo_append(st2, payload, cnt_t)
-            for k2 in ("fifo_lo", "fifo_hi", "cnt", "qp"):
+            fifo_append8(st2, payload, jnp.uint32(0), cnt_t)
+            for k2 in ("f0", "f1", "f2", "cnt", "qp"):
                 st[k2] = jnp.where(is_lit, st2[k2], st[k2])
 
             st["pend_len"] = jnp.where(
@@ -290,8 +314,9 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             return st
 
         def emit(st, flush_base):
-            """Per-lane emission: write the FIFO's low word to the lane's
-            own ring row (scatter sweep) and advance its row counter.
+            """Per-lane emission of up to TWO output words per row: write
+            the FIFO's low words to the lane's own ring rows (chained
+            scatter sweep) and advance its row counter.
 
             Per-lane (not lockstep) so no lane's starvation can wedge
             another's progress; the flush frontier caps how far ahead a
@@ -299,28 +324,45 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             st = dict(st)
             P0 = 4 * st["r_lane"]
             done = (st["err"] != 0) | (P0 >= mlen)
-            need = jnp.clip(mlen - P0, 0, 4)
-            can = (
-                ~done & (st["cnt"] >= need)
-                & (st["r_lane"] < flush_base + (V - FLUSH))
+            room = (flush_base + (V - FLUSH)) - st["r_lane"]
+            need = jnp.clip(mlen - P0, 0, 8)
+            # words this row: 2 when a full 8 B (or the whole tail) is
+            # ready, 1 when >= 4 B (or the whole tail) is ready
+            nw = jnp.where(
+                ~done & (room >= 2) & ((st["cnt"] >= 8)
+                                       | ((st["cnt"] >= need) & (need > 4))),
+                2,
+                jnp.where(
+                    ~done & (room >= 1)
+                    & ((st["cnt"] >= 4)
+                       | ((st["cnt"] >= need) & (need <= 4) & (need > 0))),
+                    1, 0,
+                ),
             )
-            word = st["fifo_lo"]
-            # fold the emit mask into the integer query (-1 matches no slot):
-            # capturing an i1 vector in the loop region trips Mosaic's i8/i1
-            # round-trip, an i32 does not.
-            q = jnp.where(can, jax.lax.rem(st["r_lane"], V), -1)
+            w0 = st["f0"]
+            w1 = st["f1"]
+            q0 = jnp.where(nw >= 1, jax.lax.rem(st["r_lane"], V), -1)
+            q1m = jnp.where(nw >= 2, jax.lax.rem(st["r_lane"] + 1, V), -1)
 
             def wbody(i, _):
                 for k in range(8):
                     v = 8 * i + k
-                    ring[v] = jnp.where(q == v, word, ring[v])
+                    rv = ring[v]
+                    rv = jnp.where(q0 == v, w0, rv)
+                    rv = jnp.where(q1m == v, w1, rv)
+                    ring[v] = rv
                 return 0
 
             jax.lax.fori_loop(0, V // 8, wbody, 0)
-            st["fifo_lo"] = jnp.where(can, st["fifo_hi"], st["fifo_lo"])
-            st["fifo_hi"] = jnp.where(can, zeros_u, st["fifo_hi"])
-            st["cnt"] = jnp.where(can, jnp.maximum(st["cnt"] - 4, 0), st["cnt"])
-            st["r_lane"] = st["r_lane"] + can.astype(jnp.int32)
+            st["f0"] = jnp.where(
+                nw == 2, st["f2"], jnp.where(nw == 1, st["f1"], st["f0"])
+            )
+            st["f1"] = jnp.where(
+                nw == 2, zeros_u, jnp.where(nw == 1, st["f2"], st["f1"])
+            )
+            st["f2"] = jnp.where(nw >= 1, zeros_u, st["f2"])
+            st["cnt"] = jnp.maximum(st["cnt"] - 4 * nw, 0)
+            st["r_lane"] = st["r_lane"] + nw
             return st
 
         def to_tuple(st):
@@ -355,9 +397,8 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             filled = jnp.where(do_refill, filled + HALF_DT, filled)
 
             st = drain(st)
-            for _ in range(POPS_PER_ROW):
-                st, popped = pop_uniform(st, r_pop, filled)
-                r_pop = r_pop + popped.astype(jnp.int32)
+            st, n_popped = pop_uniform2(st, r_pop, filled)
+            r_pop = r_pop + n_popped
             for _ in range(PULLS_PER_ROW):
                 st = pull(st)
             st = emit(st, flush_base)
@@ -517,8 +558,6 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
     a degraded configuration falls back to host decode, never to silent
     corruption.
     """
-    import jax.numpy as jnp
-
     import jax.numpy as _jnp
 
     R, GS, _ = tokens.shape
@@ -540,14 +579,14 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
         R += pad_rows
     max_mlen = int(mlens.max()) if mlens.size else 0
     n_out_rows = max(FLUSH, _round_up(-(-max_mlen // 4), FLUSH))
-    tokens_g = jnp.transpose(
-        jnp.asarray(tokens).reshape(R, G, SUB, LANES), (1, 0, 2, 3)
+    tokens_g = _jnp.transpose(
+        _jnp.asarray(tokens).reshape(R, G, SUB, LANES), (1, 0, 2, 3)
     ).reshape(G * R, SUB, LANES)
     scal = mlens.astype(np.int32).reshape(G * SUB, LANES)
     kernel = get_resolve_kernel(
         R, n_out_rows, V, DT, G, row_budget, interpret
     )
-    out = kernel(tokens_g, jnp.asarray(scal))
+    out = kernel(tokens_g, _jnp.asarray(scal))
     # free reshape back to the group-major 4-D view callers index
     return out.reshape(G, n_out_rows + 8, SUB, LANES), n_out_rows
 

@@ -1,0 +1,149 @@
+"""v3 fused full-format decode kernel (interpret mode).
+
+The bar (VERDICT round 2, item 3): reference-encoded streams — context
+maps, block switching, tree groups, static-dictionary transforms — decode
+through the device path bit-exactly.  The small Google-encoded corpus
+vectors exercise all of it with reference bytes (quickfox/ukkonooa are
+dictionary+transform words; monkey/cp852 use context maps + block
+switching); this framework's own full-path q5/q11 encodes cover
+multi-tree context-modeled streams at test scale.
+
+Interpret-mode cost scales with the ring sweep, so tests use H=512.
+"""
+
+import numpy as np
+import pytest
+
+from brotli_tpu.decode import decode as host_decode
+from brotli_tpu.encode import encode
+from brotli_tpu.ops import pallas_decode3 as P3
+
+from conftest import VECTORS_DIR
+
+H = 512   # small VMEM ring: inputs below keep distances < H-16
+
+
+def _vec(name: str) -> bytes:
+    return open(f"{VECTORS_DIR}/{name}", "rb").read()
+
+
+# single-compressed-metablock Google-encoded vectors (quickfox/xyzzy use an
+# uncompressed metablock — a stream shape the host handles)
+GOOGLE_SMALL = [
+    "ukkonooa", "10x10y", "64x", "monkey", "cp852-utf8", "cp1251-utf16le",
+]
+
+
+def test_google_vectors_on_device():
+    """Google-encoded reference streams, bit-exact through the fused kernel
+    (multi-tree literal groups, context maps — monkey has 2 literal trees,
+    cp1251-utf16le has 7)."""
+    streams = [_vec(f"{n}.compressed") for n in GOOGLE_SMALL]
+    expected = [_vec(n) for n in GOOGLE_SMALL]
+    assert P3.preflight_v3(streams, max_groups=8) is not None, \
+        "vectors must be eligible"
+    from brotli_tpu.ops.pallas_decode2 import fallback_stats
+
+    before = fallback_stats()["lanes_fallback"]
+    got = P3.decode_batch_v3(streams, H=2048, interpret=True, max_groups=8)
+    assert got == expected
+    assert fallback_stats()["lanes_fallback"] == before, "lanes fell back"
+
+
+def test_dictionary_transforms_on_device():
+    """Crafted valid stream of pure static-dictionary references across
+    transform classes (identity / omit-first / omit-last / uppercase-first
+    / uppercase-all, with prefixes+suffixes); host-verified, then device."""
+    from brotli_tpu.decode import dictionary as sd
+    from brotli_tpu.decode.transforms import TRANSFORM_LIST, transform_word
+    from brotli_tpu.encode.api import _NO_MASK
+    from brotli_tpu.encode.bitwriter import BitWriter, encode_window_bits
+    from brotli_tpu.encode.command import make_command
+    from brotli_tpu.encode.metablock import store_metablock_trivial
+
+    picks = []
+    for tf, (pre, op, suf) in enumerate(TRANSFORM_LIST):
+        picks.append((tf, op))
+    # one representative per op class, favoring ones with prefix/suffix
+    chosen, seen_ops = [], set()
+    for tf, op in picks:
+        if op not in seen_ops:
+            chosen.append(tf)
+            seen_ops.add(op)
+    parts, commands, pos = [], [], 0
+    for k, tf in enumerate(chosen):
+        wlen = 6 + (k % 5)
+        shift = sd.size_bits(wlen)
+        widx = (37 * k) % (1 << shift)
+        word = sd.get_word(wlen, widx)
+        out = transform_word(word, tf)
+        distance = min(pos, (1 << 22) - 16) + 1 + ((tf << shift) | widx)
+        commands.append(make_command(0, wlen, 0, distance + 15, 0, 0))
+        parts.append(out)
+        pos += len(out)
+    expected = b"".join(parts)
+    w = BitWriter()
+    nb, val = encode_window_bits(22, False)
+    w.write(nb, val)
+    store_metablock_trivial(
+        w, expected, 0, len(expected), _NO_MASK, True, commands, 64, 0, 0
+    )
+    stream = w.finish()
+    assert host_decode(stream) == expected   # valid brotli, host golden
+    assert P3.preflight_one_v3(stream) is not None
+    got = P3.decode_batch_v3([stream], H=H, interpret=True)
+    assert got == [expected]
+
+
+def test_own_full_path_streams():
+    """This framework's q5/q11 full-metablock-path streams (block splits,
+    context modeling, multiple trees) decode on device."""
+    alice = _vec("alice29.txt")
+    cases = [
+        encode(alice[:480], quality=11),
+        encode(alice[480:960], quality=11),
+        encode(alice[:400], quality=5),
+        encode(bytes(reversed(alice[:450])), quality=9),
+    ]
+    expected = [host_decode(s) for s in cases]
+    got = P3.decode_batch_v3(cases, H=H, interpret=True)
+    assert got == expected
+
+
+def test_binning_mixed_signatures():
+    """Streams with distinct table signatures bin into separate groups."""
+    alice = _vec("alice29.txt")
+    streams = [
+        encode(alice[:300], quality=11),
+        encode(alice[:300], quality=11),   # same sig -> same group
+        encode(alice[300:650], quality=5),
+        _vec("ukkonooa.compressed"),
+    ]
+    batch = P3.preflight_v3(streams)
+    assert batch is not None
+    assert batch.groups == 3
+    got = P3.decode_batch_v3(streams, H=H, interpret=True)
+    assert got == [host_decode(s) for s in streams]
+
+
+def test_far_distance_falls_back_not_corrupts():
+    """A stream whose history exceeds the ring flags ERR_FAR_DIST and
+    re-decodes on host: correct bytes, counted fallback."""
+    alice = _vec("alice29.txt")
+    data = alice[:3000]          # > H: far distances guaranteed at q11
+    s = encode(data, quality=11)
+    from brotli_tpu.ops.pallas_decode2 import fallback_stats
+
+    before = fallback_stats()["lanes_fallback"]
+    got = P3.decode_batch_v3([s], H=H, interpret=True)
+    assert got == [data]
+    assert fallback_stats()["lanes_fallback"] >= before
+
+
+def test_preflight_caps():
+    """Streams over the static caps (e.g. enc-ttf's 61 literal block
+    types) are host-handled, not mis-decoded."""
+    big = open("/root/reference/bench/fixtures/enc-ttf.br", "rb").read()
+    assert P3.preflight_one_v3(big) is None
+    got = P3.decode_batch_v3([big], H=H, interpret=True)
+    assert got == [host_decode(big)]
