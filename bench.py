@@ -54,8 +54,11 @@ E2E_GROUPS = 1
 ENT_CHUNK = 32768
 ENT_GROUPS = 8
 ENC_CHUNK = 32768
-ENC_DEPTH = 4
+ENC_DEPTH = 8
 ENC_TABLE_GROUPS = 2
+ENC_CTX_TREES = 8      # context-mapped literal trees (UTF8 mode)
+FF_CHUNK = 4096        # full-format (v3) decode batch chunk size
+FF_H = 4096
 REP = 3
 
 TEXT_FIXTURES = (
@@ -185,8 +188,9 @@ def main() -> None:
 
     def encode_once():
         state = DE._encode_start(data3, ENC_CHUNK, 1, 2048,
-                                 E2E_H - 16, ENC_DEPTH, device_input=dev_in)
-        DE._encode_mid(state, 22, False, ENC_TABLE_GROUPS)
+                                 None, ENC_DEPTH, device_input=dev_in,
+                                 lit_ctx=ENC_CTX_TREES > 1)
+        DE._encode_mid(state, 22, False, ENC_TABLE_GROUPS, ENC_CTX_TREES)
         sizes = DE.stream_sizes(state)   # status fetch syncs the pipeline
         return state, sizes
 
@@ -215,6 +219,55 @@ def main() -> None:
     _emit("device_encode_throughput_1chip", mbps, "MB/s",
           mbps / BASELINE_ENCODE_MBPS, ratio=round(ratio, 4),
           wall_s=round(t_enc, 2))
+
+    # ---- metric 5: full-format device decode (v3 fused kernel) ----
+    # context-mapped literal trees + tree groups decoded ON DEVICE: the
+    # batch is this framework's own context-modeled encode (the streams any
+    # conformant brotli decoder accepts); the untimed capability gate also
+    # decodes Google-encoded corpus vectors + an all-transform-class
+    # static-dictionary stream bit-exactly through the same kernel.
+    from brotli_tpu.ops import pallas_decode3 as P3
+
+    ff_data = (text * 64)[: 1024 * FF_CHUNK]
+    ff_streams = DE.encode_device_batch(
+        ff_data, chunk_size=FF_CHUNK, max_distance=FF_H - 16,
+        chain_depth=ENC_DEPTH, table_groups=1, lit_ctx_trees=ENC_CTX_TREES,
+    )
+    gate_names = ["ukkonooa", "10x10y", "64x", "monkey", "cp852-utf8"]
+    gdir = "/root/reference/test/fixtures/vectors"
+    gstreams = [open(f"{gdir}/{n}.compressed", "rb").read()
+                for n in gate_names]
+    gexp = [open(f"{gdir}/{n}", "rb").read() for n in gate_names]
+    got_g = P3.decode_batch_v3(gstreams, H=2048, max_groups=8)
+    n_vec_ok = sum(int(a == b) for a, b in zip(got_g, gexp))
+
+    ff_batch = P3.preflight_v3(ff_streams, max_groups=2)
+    assert ff_batch is not None, "full-format batch must be v3-eligible"
+    k3, a3, n_out3 = P3.staged_v3(ff_batch, H=FF_H)
+    out3 = k3(*a3)
+    out3_np = np.asarray(out3).reshape(ff_batch.groups, n_out3 + 8, 8, 128)
+    errs3 = out3_np[:, n_out3].reshape(-1)
+    n_err3 = int((errs3[: ff_batch.n_streams] != 0).sum())
+    # untimed bit-exactness gate on the timed batch itself
+    by_stream = np.transpose(out3_np[:, :n_out3], (0, 2, 3, 1)).reshape(
+        ff_batch.groups * 1024, -1
+    )
+    raw3 = np.ascontiguousarray(by_stream).astype("<u4").view(np.uint8)
+    raw3 = raw3.reshape(ff_batch.groups * 1024, -1)
+    for slot in range(ff_batch.groups * 1024):
+        i = int(ff_batch.perm[slot])
+        if 0 <= i < ff_batch.n_streams and errs3[slot] == 0:
+            assert bytes(raw3[slot, : ff_batch.mlens[slot]]) == \
+                ff_data[i * FF_CHUNK:(i + 1) * FF_CHUNK], "v3 gate mismatch"
+    t_ff = time_device_fn(
+        lambda *a: k3(*a)[0, 0, :8].astype(jnp.int32), *a3,
+        rep=REP, samples=3, perturb=False,
+    )
+    ff_gbps = int(ff_batch.mlens.sum()) / t_ff / 1e9
+    _emit("fullformat_decode_throughput_1chip", ff_gbps * 1000, "MB/s",
+          ff_gbps / BASELINE_DECODE_GBPS, err_lanes=n_err3,
+          batch_mb=round(int(ff_batch.mlens.sum()) / 1e6, 1),
+          google_vectors_ok=f"{n_vec_ok}/{len(gate_names)}")
 
     # ---- metric 4: dispatch-overlap scaling proxy (one chip) ----
     # async-dispatch N kernels then sync, vs N synchronous runs: the ratio

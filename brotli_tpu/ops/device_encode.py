@@ -37,6 +37,7 @@ same ones implemented in encode/command.py and encode/entropy.py.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -102,6 +103,47 @@ def _ilog2(x):
     f = x.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(f, jnp.int32)
     return (bits >> 23) - 127
+
+
+@_functools.lru_cache(maxsize=1)
+def _utf8_ctx_runs():
+    """UTF8-mode (mode 2) context LUT as constant runs, for gather-free
+    on-device evaluation: two lists of (lo, hi, value) byte ranges for the
+    p1 and p2 halves (181 + 10 runs; XLA gather at ~0.07 G elem/s makes a
+    plain table lookup unusable at batch scale)."""
+    from ..decode.engine import _CONTEXT_LUT
+
+    def runs(seg):
+        out = []
+        lo = 0
+        for i in range(1, 257):
+            if i == 256 or seg[i] != seg[lo]:
+                if seg[lo]:
+                    out.append((lo, i - 1, seg[lo]))
+                lo = i
+        return tuple(out)
+
+    return runs(_CONTEXT_LUT[1024:1280]), runs(_CONTEXT_LUT[1280:1536])
+
+
+def _literal_context(d32, N):
+    """(B, N) UTF8-mode literal context ids (0..63): lut[p1] | lut[256+p2],
+    evaluated as compare-select chains over the LUT's constant runs."""
+    import jax.numpy as jnp
+
+    B = d32.shape[0]
+    z1 = jnp.zeros((B, 1), jnp.int32)
+    p1 = jnp.concatenate([z1, d32[:, : N - 1]], axis=1)
+    p2 = jnp.concatenate([z1, z1, d32[:, : N - 2]], axis=1)
+    runs1, runs2 = _utf8_ctx_runs()
+    ctx = jnp.zeros((B, N), jnp.int32)
+    for lo, hi, val in runs1:
+        m = (p1 >= lo) & (p1 <= hi) if lo != hi else (p1 == lo)
+        ctx = ctx | jnp.where(m, val, 0)
+    for lo, hi, val in runs2:
+        m = (p2 >= lo) & (p2 <= hi) if lo != hi else (p2 == lo)
+        ctx = ctx | jnp.where(m, val, 0)
+    return ctx
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +302,12 @@ def find_matches(data_u8, n_valid, hash_stride: int = 1,
 def greedy_parse(mlen, mdist, n_valid):
     """Returns (is_cs, is_lit, dcode_short) (B, N).
 
+    Match selection is score-based like the reference's hasher scoring
+    (match.ts:26-30, score ~ 135*len - 30*log2(dist)): a weak far match
+    (short length, large distance) loses to its literal cost, and a match
+    is deferred when a clearly better one starts 1-2 bytes ahead (lazy
+    matching, the device analog of hash-chains.ts best-score probing).
+
     The scan also simulates the decoder's 4-entry distance ring exactly
     (RFC 4): dcode_short[p] is the short distance code (0-15) a copy at p
     can use, or -1 — code 0 means "repeat last distance" (no ring push),
@@ -275,10 +323,20 @@ def greedy_parse(mlen, mdist, n_valid):
 
     B, N = mlen.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    # lazy-ish: defer a match when a clearly better one starts 1-2 ahead
-    n1 = jnp.concatenate([mlen[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
-    n2 = jnp.concatenate([mlen[:, 2:], jnp.zeros((B, 2), jnp.int32)], axis=1)
-    take = (mlen >= 4) & ~(n1 >= mlen + 3) & ~(n2 >= mlen + 4)
+    score = 135 * mlen - 30 * _ilog2(jnp.maximum(mdist, 1))
+    # weak-match gate: a len-4 copy at distance >= 2^9 (~26+ bits) is not
+    # clearly cheaper than 4 context-coded literals; require len to grow
+    # with log2(dist)
+    strong = (mlen >= 4) & (score >= 135 * 4 - 30 * 9)
+
+    def sh1(a, j):
+        return jnp.concatenate(
+            [a[:, j:], jnp.zeros((B, j), a.dtype)], axis=1
+        )
+
+    s1 = sh1(score, 1)
+    s2 = sh1(score, 2)
+    take = strong & ~(s1 >= score + 105) & ~(s2 >= score + 175)
     take = take & (pos < n_valid[:, None])
 
     take_c = take.reshape(B, N // CELL, CELL).transpose(1, 0, 2)
@@ -340,10 +398,13 @@ def greedy_parse(mlen, mdist, n_valid):
 # stage 6: symbol records
 # ---------------------------------------------------------------------------
 
-def build_records(data_u8, mlen, mdist, is_cs, is_lit, dcode_short, n_valid):
+def build_records(data_u8, mlen, mdist, is_cs, is_lit, dcode_short, n_valid,
+                  lit_ctx: bool = False):
     """Returns record arrays (rec0, rec1) (B, N+1) already in STREAM order.
 
-    rec0 = kind<<28 | code   (code: cmd_prefix / literal byte / dist code)
+    rec0 = kind<<28 | code   (code: cmd_prefix / literal byte / dist code);
+           with lit_ctx, literal records also carry their UTF8-mode context
+           id at bits 14-19 (context-mapped literal trees downstream)
     rec1 = extra-bits payload:
       CMD : ins_val | cp_val<<16
       DIST: extra value
@@ -451,9 +512,12 @@ def build_records(data_u8, mlen, mdist, is_cs, is_lit, dcode_short, n_valid):
         emit_cmd, K_CMD,
         jnp.where(is_dist_slot, K_DIST, jnp.where(is_lit, K_LIT, K_PAD)),
     )
+    lit_code = d32
+    if lit_ctx:
+        lit_code = d32 | (_literal_context(d32, N) << 14)
     code = jnp.where(
         emit_cmd, cmd_code,
-        jnp.where(is_dist_slot, sh(dcode), jnp.where(is_lit, d32, 0)),
+        jnp.where(is_dist_slot, sh(dcode), jnp.where(is_lit, lit_code, 0)),
     )
     rec1 = jnp.where(
         emit_cmd, cmd_rec1, jnp.where(is_dist_slot, sh(dval), 0)
@@ -486,33 +550,34 @@ def build_records(data_u8, mlen, mdist, is_cs, is_lit, dcode_short, n_valid):
 # stage 8: Pallas bit-pack kernel (grid-streamed, 1 record per row)
 # ---------------------------------------------------------------------------
 
-TAB_K = 12           # combined symbol table: lit 256 + cmd 704 + dist 64 -> 1504
-CMD_TAB_OFF = 256
-DIST_TAB_OFF = 960
 PACK_BR = 256        # records per grid step
 KEY_PAD = 0x7FFFFFFF
 
 
-import functools as _functools
+def _tab_chunks(nt: int) -> int:
+    """Combined per-group symbol table chunks: nt*256 literal entries
+    (context trees) + 704 cmd + 64 dist = 256*(nt+3) -> 2*nt+6 chunks."""
+    return 2 * nt + 6
 
 
 @_functools.lru_cache(maxsize=16)
 def _jitted_stages(hash_stride: int, max_distance: int | None = None,
-                   chain_depth: int = 2):
+                   chain_depth: int = 2, lit_ctx: bool = False):
     import jax
 
     return jax.jit(
         _functools.partial(_device_stages, hash_stride=hash_stride,
                            max_distance=max_distance,
-                           chain_depth=chain_depth)
+                           chain_depth=chain_depth, lit_ctx=lit_ctx)
     )
 
 
 @_functools.lru_cache(maxsize=16)
-def _jitted_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
+def _jitted_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
+                 nt: int = 1):
     import jax
 
-    return jax.jit(_build_pack(n_blocks, interpret, n_groups))
+    return jax.jit(_build_pack(n_blocks, interpret, n_groups, nt))
 
 
 @_functools.lru_cache(maxsize=16)
@@ -559,7 +624,8 @@ def _jitted_assemble(maxH: int, n_distinct: int):
     return jax.jit(asm)
 
 
-def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
+def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
+                nt: int = 1):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -567,6 +633,9 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
 
     S = (8, 128)
     BR = PACK_BR
+    TABK = _tab_chunks(nt)
+    CMD_TAB_OFF = nt * 256
+    DIST_TAB_OFF = nt * 256 + 704
 
     def lookup(tab_ref, k, idx):
         lo = idx & 127
@@ -577,13 +646,14 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
             acc = jnp.where(hi == c, g, acc)
         return acc
 
-    def kernel(rec0_ref, rec1_ref, tab_ref, consts_ref, gbase_ref,
+    def kernel(rec0_ref, rec1_ref, tab_ref, cmap_ref, consts_ref, grp_ref,
                init0_ref, initav_ref,
                keys_ref, words_ref, status_ref, state):
         i = pl.program_id(0)
         # per-lane table-group base: group g's combined symbol table starts
-        # at flat index g*TAB_K*128 (table clustering, mixed batches)
-        gbase = gbase_ref[:] * (TAB_K * 128)
+        # at flat index g*TABK*128 (table clustering, mixed batches)
+        grp = grp_ref[:]
+        gbase = grp * (TABK * 128)
 
         @pl.when(i == 0)
         def _():
@@ -606,10 +676,24 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
             is_dist = kind == K_DIST
             live = kind != K_PAD
 
-            tab_idx = gbase + code + jnp.where(
-                is_cmd, CMD_TAB_OFF, jnp.where(is_dist, DIST_TAB_OFF, 0)
+            if nt > 1:
+                # context-mapped literal tree: ctx (rec0 bits 14-19) ->
+                # tree via the lane's group's context map chunk
+                ctx = (rec0 >> 14) & 0x3F
+                tree = jnp.zeros(S, jnp.int32)
+                for g in range(n_groups):
+                    got = jnp.take_along_axis(
+                        cmap_ref[g * 8:(g + 1) * 8, :], ctx & 127, axis=1
+                    )
+                    tree = jnp.where(grp == g, got, tree)
+                lit_idx = tree * 256 + (code & 0xFF)
+            else:
+                lit_idx = code & 0xFF
+            tab_idx = gbase + jnp.where(
+                is_cmd, CMD_TAB_OFF + code,
+                jnp.where(is_dist, DIST_TAB_OFF + code, lit_idx),
             )
-            ent = lookup(tab_ref, TAB_K * n_groups, jnp.where(live, tab_idx, 0))
+            ent = lookup(tab_ref, TABK * n_groups, jnp.where(live, tab_idx, 0))
             sym_nb = jnp.where(live, ent >> 16, 0)
             sym_bits = (ent & 0xFFFF).astype(jnp.uint32)
 
@@ -687,7 +771,7 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
         for k in range(6, 8):
             status_ref[k] = jnp.zeros(S, jnp.uint32)
 
-    def runner(rec0, rec1, tab, consts, gbase, init0, initav):
+    def runner(rec0, rec1, tab, cmap, consts, grp, init0, initav):
         grid = (n_blocks,)
         return pl.pallas_call(
             kernel,
@@ -702,7 +786,9 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_groups * TAB_K * 8, 128), lambda i: (0, 0),
+                pl.BlockSpec((n_groups * TABK * 8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups * 8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -724,7 +810,7 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1):
             scratch_shapes=[pltpu.VMEM((7, 8, 128), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(rec0, rec1, tab, consts, gbase, init0, initav)
+        )(rec0, rec1, tab, cmap, consts, grp, init0, initav)
 
     return runner
 
@@ -743,90 +829,136 @@ def _pack_consts() -> np.ndarray:
 DIST_ALPHABET = 16 + 0 + (48 << 0)  # npostfix=0, ndirect=0
 
 
-def _tables_from_hists(lit_hist, cmd_hist, dist_hist):
+# flat per-group histogram layout for the device bincount:
+# [64*256 lit(ctx,byte) | 704 cmd | 64 dist] = 17152 bins per group + 1 dump
+_HIST_STRIDE_DEFAULT = 8
+_HG = 64 * 256 + NUM_COMMAND_SYMBOLS + 64
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_group_hist(n_groups: int, stride: int):
+    """Device histogrammer: strided records + per-lane group ids -> flat
+    (G*_HG+1,) counts via one bincount (scatter-add).  Replaces bulk
+    sample fetches: the host only downloads the compact counts, so dense
+    histograms cost ~30 ms of device scatter instead of an 8 MB transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    def hist(rec0, grp):
+        sub = rec0[:, ::stride]
+        kind = (sub >> 28) & 0xF
+        code = sub & 0x3FFF
+        ctx = (sub >> 14) & 0x3F
+        base = grp[:, None] * _HG
+        key = jnp.where(
+            kind == K_LIT, base + ctx * 256 + (code & 0xFF),
+            jnp.where(
+                kind == K_CMD, base + 16384 + jnp.clip(code, 0, 703),
+                jnp.where(
+                    kind == K_DIST, base + 16384 + 704 + jnp.clip(code, 0, 63),
+                    n_groups * _HG,
+                ),
+            ),
+        )
+        return jnp.bincount(key.reshape(-1), length=n_groups * _HG + 1)
+
+    return jax.jit(hist)
+
+
+def _split_group_hist(flat: np.ndarray, g: int):
+    """(lit_hists (64,256), cmd_hist, dist_hist) for group g."""
+    seg = flat[g * _HG : (g + 1) * _HG].astype(np.int64)
+    lit_hists = seg[:16384].reshape(64, 256)
+    cmd_hist = seg[16384 : 16384 + 704] * 8 + 1
+    dist_hist = seg[16384 + 704 : 16384 + 704 + 64] * 8 + 1
+    return lit_hists, cmd_hist, dist_hist
+
+
+def _cluster_rows(hists: np.ndarray, k: int, iters: int = 8):
+    """Weighted k-means over normalized histogram rows; returns map (rows,)
+    into [0, k') with k' <= k, renumbered densely."""
+    n = hists.shape[0]
+    w = hists.sum(axis=1)
+    feats = hists / np.maximum(w, 1)[:, None]
+    order = np.argsort(-w)
+    centers = feats[order[:: max(1, n // k)]][:k].copy()
+    g = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d = ((feats[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        g = d.argmin(axis=1)
+        for j in range(centers.shape[0]):
+            sel = g == j
+            if sel.any() and w[sel].sum() > 0:
+                centers[j] = (
+                    (feats[sel] * w[sel][:, None]).sum(axis=0)
+                    / max(w[sel].sum(), 1)
+                )
+    used = sorted(set(g.tolist()))
+    remap = {j: i for i, j in enumerate(used)}
+    return np.asarray([remap[int(x)] for x in g], np.int64)
+
+
+def _group_tables_from_hists(lit_hists, cmd_hist, dist_hist, nt: int):
+    """One table group's entropy codes: (lit_tables [<=nt], cmap (64,),
+    cmd, dist).  Literal contexts (UTF8 mode) cluster into <= nt trees —
+    the device analog of the reference's context modeling + clustering
+    (metablock.ts:504-761, cluster.ts:317-378)."""
     from ..encode.entropy import build_huffman_code
 
-    return (
-        build_huffman_code(lit_hist, NUM_LITERAL_SYMBOLS),
-        build_huffman_code(cmd_hist, NUM_COMMAND_SYMBOLS),
-        build_huffman_code(dist_hist, DIST_ALPHABET),
+    if nt == 1:
+        cmap = np.zeros(64, np.int64)
+        tree_hists = lit_hists.sum(axis=0, keepdims=True)
+    else:
+        cmap = _cluster_rows(lit_hists, nt)
+        n_used = int(cmap.max()) + 1
+        tree_hists = np.zeros((n_used, 256), np.int64)
+        for c in range(64):
+            tree_hists[cmap[c]] += lit_hists[c]
+    lits = [
+        build_huffman_code(h * 8 + 1, NUM_LITERAL_SYMBOLS) for h in tree_hists
+    ]
+    return dict(
+        lits=lits, cmap=cmap,
+        cmd=build_huffman_code(cmd_hist, NUM_COMMAND_SYMBOLS),
+        dist=build_huffman_code(dist_hist, DIST_ALPHABET),
     )
 
 
-def _build_tables_from_samples(rec0_sample: np.ndarray):
-    """Sampled rec0 values -> (depths, bits) per class, +1 smoothing."""
-    kinds = (rec0_sample >> 28) & 0xF
-    codes = rec0_sample & 0x3FFF
-    lit_hist = np.ones(NUM_LITERAL_SYMBOLS, np.int64)
-    cmd_hist = np.ones(NUM_COMMAND_SYMBOLS, np.int64)
-    dist_hist = np.ones(DIST_ALPHABET, np.int64)
-    np.add.at(lit_hist, codes[kinds == K_LIT] & 0xFF, 8)
-    np.add.at(cmd_hist, np.clip(codes[kinds == K_CMD], 0, 703), 8)
-    np.add.at(dist_hist, np.clip(codes[kinds == K_DIST], 0, DIST_ALPHABET - 1), 8)
-    return _tables_from_hists(lit_hist, cmd_hist, dist_hist)
-
-
-def _cluster_group_tables(rec0_sample: np.ndarray, n_groups: int,
-                          n_chunks: int):
+def _cluster_lanes(rec0_sample: np.ndarray, n_groups: int,
+                   n_chunks: int) -> np.ndarray:
     """Cluster lanes by literal-histogram shape into <= n_groups table
-    groups; returns (group_of_lane (B,), [(lit, cmd, dist) per group]).
+    groups (group id per lane).
 
     The analog of the reference's per-metablock histogram clustering
     (cluster.ts:317-378) at batch granularity: mixed batches (text + font)
     stop paying for one compromise table set.  Plain numpy k-means on
-    32-bin projected literal histograms — the host cost is microscopic
-    next to the device stages.
+    32-bin projected literal histograms from the coarse record sample —
+    the host cost is microscopic next to the device stages.
     """
     B = rec0_sample.shape[0]
-    kinds = (rec0_sample >> 28) & 0xF
-    codes = rec0_sample & 0x3FFF
-    feats = np.zeros((B, 32), np.float64)
-    for lane in range(min(B, n_chunks)):
-        lc = codes[lane][kinds[lane] == K_LIT] & 0xFF
-        if lc.size:
-            np.add.at(feats[lane], lc >> 3, 1.0)
-            feats[lane] /= lc.size
-    active = feats[:n_chunks]
-    # k-means with deterministic spread-out init
-    order = np.argsort(active.sum(axis=1))
-    centers = active[order[:: max(1, len(order) // n_groups)]][:n_groups]
-    if centers.shape[0] < n_groups:
-        n_groups = max(1, centers.shape[0])
     group = np.zeros(B, np.int64)
-    for _ in range(8):
-        d = ((active[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        g = d.argmin(axis=1)
-        for j in range(n_groups):
-            if (g == j).any():
-                centers[j] = active[g == j].mean(axis=0)
-        group[:n_chunks] = g
-    # drop empty groups, renumber densely
-    used = sorted(set(group[:n_chunks].tolist()))
-    remap = {j: k for k, j in enumerate(used)}
-    group[:n_chunks] = [remap[int(j)] for j in group[:n_chunks]]
-    tables = []
-    for j in range(len(used)):
-        sel = np.zeros(B, bool)
-        sel[:n_chunks] = group[:n_chunks] == j
-        sample = rec0_sample[sel]
-        k2 = (sample >> 28) & 0xF
-        c2 = sample & 0x3FFF
-        lit_hist = np.ones(NUM_LITERAL_SYMBOLS, np.int64)
-        cmd_hist = np.ones(NUM_COMMAND_SYMBOLS, np.int64)
-        dist_hist = np.ones(DIST_ALPHABET, np.int64)
-        np.add.at(lit_hist, c2[k2 == K_LIT] & 0xFF, 8)
-        np.add.at(cmd_hist, np.clip(c2[k2 == K_CMD], 0, 703), 8)
-        np.add.at(dist_hist, np.clip(c2[k2 == K_DIST], 0, DIST_ALPHABET - 1), 8)
-        tables.append(_tables_from_hists(lit_hist, cmd_hist, dist_hist))
-    return group, tables
+    if n_groups > 1:
+        kinds = (rec0_sample >> 28) & 0xF
+        feats = np.zeros((B, 32), np.int64)
+        for lane in range(min(B, n_chunks)):
+            lc = rec0_sample[lane][kinds[lane] == K_LIT] & 0xFF
+            np.add.at(feats[lane], lc >> 3, 1)
+        group[:n_chunks] = _cluster_rows(feats[:n_chunks], n_groups)
+    return group
 
 
-def _header_bits(mlen: int, lgwin: int, lit, cmd, dist) -> "object":
-    """Metablock header + tree declarations; returns the BitWriter."""
+def _header_bits(mlen: int, lgwin: int, grp_tables: dict) -> "object":
+    """Stream + metablock header + tree declarations for one chunk.
+
+    Single block type per category; NT context-mapped literal trees (UTF8
+    context mode) when the group has them.  Returns the BitWriter."""
     from ..encode.bitwriter import BitWriter, encode_window_bits, store_var_len_uint8
+    from ..encode.context_map import encode_context_map
     from ..encode.entropy import store_huffman_tree
     from ..encode.metablock import store_compressed_metablock_header
 
+    lits = grp_tables["lits"]
+    nt = len(lits)
     w = BitWriter()
     nb, val = encode_window_bits(lgwin, False)
     w.write(nb, val)
@@ -836,29 +968,36 @@ def _header_bits(mlen: int, lgwin: int, lit, cmd, dist) -> "object":
     store_var_len_uint8(w, 0)  # NBLTYPESD - 1
     w.write(2, 0)              # NPOSTFIX
     w.write(4, 0)              # NDIRECT >> NPOSTFIX
-    store_var_len_uint8(w, 0)  # NTREESL - 1
-    w.write(2, 0)              # context mode LSB6
-    store_var_len_uint8(w, 0)  # NTREESD - 1
-    store_huffman_tree(w, lit[0], NUM_LITERAL_SYMBOLS, lit[2], lit[3])
+    # context mode: UTF8 when context-mapped, LSB6 otherwise
+    w.write(2, 2 if nt > 1 else 0)
+    encode_context_map(w, list(grp_tables["cmap"]), nt)
+    encode_context_map(w, [0, 0, 0, 0], 1)   # trivial distance cmap
+    for lit in lits:
+        store_huffman_tree(w, lit[0], NUM_LITERAL_SYMBOLS, lit[2], lit[3])
+    cmd = grp_tables["cmd"]
+    dist = grp_tables["dist"]
     store_huffman_tree(w, cmd[0], NUM_COMMAND_SYMBOLS, cmd[2], cmd[3])
     store_huffman_tree(w, dist[0], DIST_ALPHABET, dist[2], dist[3])
     return w
 
 
-def _pack_symbol_table(lit, cmd, dist) -> np.ndarray:
-    """Combined (nbits<<16|bits) table, row-replicated (TAB_K*8, 128)."""
-    flat = np.zeros(TAB_K * 128, dtype=np.int32)
+def _pack_symbol_table(grp_tables: dict, nt: int) -> np.ndarray:
+    """Combined (nbits<<16|bits) table, row-replicated (TABK*8, 128):
+    [nt x 256 literal trees | 704 cmd | 64 dist]."""
+    tabk = _tab_chunks(nt)
+    flat = np.zeros(tabk * 128, dtype=np.int32)
 
     def put(off, depths, bits):
         d = np.asarray(depths, np.int32)
         b = np.asarray(bits, np.int32)
         flat[off : off + d.shape[0]] = (d << 16) | b
 
-    put(0, lit[0], lit[1])
-    put(CMD_TAB_OFF, cmd[0], cmd[1])
-    put(DIST_TAB_OFF, dist[0], dist[1])
-    chunks = flat.reshape(TAB_K, 1, 128)
-    return np.broadcast_to(chunks, (TAB_K, 8, 128)).reshape(TAB_K * 8, 128).copy()
+    for t, lit in enumerate(grp_tables["lits"]):
+        put(t * 256, lit[0], lit[1])
+    put(nt * 256, grp_tables["cmd"][0], grp_tables["cmd"][1])
+    put(nt * 256 + 704, grp_tables["dist"][0], grp_tables["dist"][1])
+    chunks = flat.reshape(tabk, 1, 128)
+    return np.broadcast_to(chunks, (tabk, 8, 128)).reshape(tabk * 8, 128).copy()
 
 
 def _to_sub_lanes(arr_bn: "object"):
@@ -876,20 +1015,24 @@ class DeviceEncodeResult:
 
 
 def _device_stages(data_arr, n_valid, hash_stride: int = 1,
-                   max_distance: int | None = None, chain_depth: int = 2):
+                   max_distance: int | None = None, chain_depth: int = 2,
+                   lit_ctx: bool = False):
     """All XLA stages fused under one jit: records ready for packing."""
     mlen, mdist = find_matches(data_arr, n_valid, hash_stride, max_distance,
                                chain_depth)
     is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid)
     rec0, rec1, n_rec = build_records(
-        data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid
+        data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid,
+        lit_ctx=lit_ctx,
     )
     return rec0, rec1, n_rec
 
 
 def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
                   sample_stride: int, max_distance: int | None = None,
-                  chain_depth: int = 2, device_input=None):
+                  chain_depth: int = 2, device_input=None,
+                  lit_ctx: bool = False,
+                  hist_stride: int = _HIST_STRIDE_DEFAULT):
     """Host prep + dispatch of the XLA match/parse/record stages.
 
     Returns a state dict; the device work is in flight when this returns
@@ -924,13 +1067,13 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
     else:
         data_arr, n_valid = device_input
 
-    stages = _jitted_stages(hash_stride, max_distance, chain_depth)
+    stages = _jitted_stages(hash_stride, max_distance, chain_depth, lit_ctx)
     rec0, rec1, n_rec = stages(data_arr, n_valid)
     rec0_sample_dev = rec0[:, ::sample_stride]  # stays async
     return dict(
         data=data, chunk_size=chunk_size, n_chunks=n_chunks,
         n_valid_np=n_valid_np, rec0=rec0, rec1=rec1,
-        rec0_sample_dev=rec0_sample_dev,
+        rec0_sample_dev=rec0_sample_dev, hist_stride=hist_stride,
     )
 
 
@@ -945,25 +1088,31 @@ def encode_device_batch(
     max_distance: int | None = None,
     chain_depth: int = 2,
     table_groups: int = 1,
+    lit_ctx_trees: int = 1,
 ) -> list[bytes]:
     """Encode `data` on the TPU as B<=1024 chunk streams.
 
     table_groups=1 gives batch-identical Huffman tables (fastest decode
     path); >1 clusters lanes into that many table groups for better ratio
-    on mixed content (decoded via per-group tables, preflight_binned)."""
+    on mixed content (decoded via per-group tables, preflight_binned).
+    lit_ctx_trees>1 turns on context modeling: literals are coded with up
+    to that many context-mapped trees (UTF8 context mode, contexts
+    clustered per table group); the streams decode on device via the v3
+    fused kernel (ops/pallas_decode3.py) or on host."""
     data = bytes(data)
     if len(data) == 0:
         from ..encode.api import _encode_empty
 
         return [_encode_empty()]
     state = _encode_start(data, chunk_size, hash_stride, sample_stride,
-                          max_distance, chain_depth)
-    _encode_mid(state, lgwin, interpret, table_groups)
+                          max_distance, chain_depth,
+                          lit_ctx=lit_ctx_trees > 1)
+    _encode_mid(state, lgwin, interpret, table_groups, lit_ctx_trees)
     return _encode_finish(state)
 
 
 def _encode_mid(state: dict, lgwin: int, interpret: bool,
-                table_groups: int = 1) -> None:
+                table_groups: int = 1, lit_ctx_trees: int = 1) -> None:
     """Fetch record samples, build shared tables + headers on the host,
     then dispatch the Pallas pack kernel and the compaction sort.
 
@@ -979,23 +1128,29 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
     n_chunks = state["n_chunks"]
     n_valid_np = state["n_valid_np"]
     rec0, rec1 = state["rec0"], state["rec1"]
+    nt = lit_ctx_trees
+    tabk = _tab_chunks(nt)
 
-    # ---- host: sampled histograms -> shared tables -> headers ----
+    # ---- lane clustering (coarse host sample) + dense device hists ----
     rec0_sample = np.asarray(state["rec0_sample_dev"])
-    if table_groups > 1:
-        group_of, tables = _cluster_group_tables(
-            rec0_sample, table_groups, n_chunks
-        )
-    else:
-        group_of = np.zeros(B_LANES, np.int64)
-        tables = [_build_tables_from_samples(rec0_sample)]
-    tab_np = np.concatenate(
-        [_pack_symbol_table(*t) for t in tables]
+    group_of = _cluster_lanes(rec0_sample, table_groups, n_chunks)
+    n_used_groups = int(group_of[:n_chunks].max()) + 1
+    hist_fn = _jitted_group_hist(n_used_groups, state["hist_stride"])
+    flat_hist = np.asarray(
+        hist_fn(rec0, jnp.asarray(group_of.astype(np.int32)))
     )
+    tables = [
+        _group_tables_from_hists(*_split_group_hist(flat_hist, j), nt)
+        for j in range(n_used_groups)
+    ]
+    tab_np = np.concatenate([_pack_symbol_table(t, nt) for t in tables])
+    cmap_np = np.zeros((table_groups * 8, 128), np.int32)
+    for j, t in enumerate(tables):
+        cmap_np[j * 8:(j + 1) * 8, :64] = t["cmap"][None, :]
     # pad the table stack to the requested group count (static kernel shape)
     if len(tables) < table_groups:
         tab_np = np.concatenate(
-            [tab_np] + [tab_np[: TAB_K * 8]] * (table_groups - len(tables))
+            [tab_np] + [tab_np[: tabk * 8]] * (table_groups - len(tables))
         )
 
     header_cache: dict[tuple, bytes] = {}
@@ -1003,11 +1158,10 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
     def header_for(mlen_val: int, grp: int):
         key = (mlen_val, grp)
         if key not in header_cache:
-            lit, cmd, dist = tables[grp]
-            w = _header_bits(mlen_val, lgwin, lit, cmd, dist)
+            w = _header_bits(mlen_val, lgwin, tables[grp])
             total_bits = len(w.take_bytes()) * 8 + w.nbits
             # re-build to recover the bit-level tail (take_bytes drained it)
-            w2 = _header_bits(mlen_val, lgwin, lit, cmd, dist)
+            w2 = _header_bits(mlen_val, lgwin, tables[grp])
             header_cache[key] = (w2, total_bits)
         return header_cache[key]
 
@@ -1041,11 +1195,11 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
 
     rec0_t = _to_sub_lanes(pad_r(rec0))
     rec1_t = _to_sub_lanes(pad_r(rec1))
-    gbase_np = group_of.astype(np.int32).reshape(8, 128)
-    pack = _jitted_pack(n_blocks, interpret, table_groups)
+    grp_np = group_of.astype(np.int32).reshape(8, 128)
+    pack = _jitted_pack(n_blocks, interpret, table_groups, nt)
     keys, words, status = pack(
-        rec0_t, rec1_t, jnp.asarray(tab_np), jnp.asarray(_pack_consts()),
-        jnp.asarray(gbase_np),
+        rec0_t, rec1_t, jnp.asarray(tab_np), jnp.asarray(cmap_np),
+        jnp.asarray(_pack_consts()), jnp.asarray(grp_np),
         jnp.asarray(init0_np), jnp.asarray(initav_np),
     )
 

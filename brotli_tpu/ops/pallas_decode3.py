@@ -1326,12 +1326,12 @@ def _round_up(x: int, m: int) -> int:
 DEFAULT_H3 = 4096
 
 
-def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
-                 interpret: bool = False, use_dict: bool = True,
-                 row_budget: int | None = None):
-    """Run the fused kernel; returns (out (G,n_out+8,8,128) np, n_out_rows).
-
-    Rows n_out..n_out+4 of each group: err, r_lane, phase, mbl, widx."""
+def staged_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
+              interpret: bool = False, use_dict: bool = True,
+              row_budget: int | None = None):
+    """Compile the fused kernel for `batch` and stage its arguments on
+    device; returns (kernel, args, n_out_rows).  The bench times
+    kernel(*args) without any host transfer in the loop."""
     import jax.numpy as jnp
 
     V = H // 4
@@ -1343,14 +1343,25 @@ def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
         batch.Wpad, D, batch.configs, V, n_out_rows, row_budget,
         use_dict, interpret,
     )
-    out = kernel(
-        jnp.asarray(batch.wt), jnp.asarray(batch.lit_t),
-        jnp.asarray(batch.cmd_t), jnp.asarray(batch.dist_t),
-        jnp.asarray(batch.bsw_t), jnp.asarray(batch.cmap_t),
-        jnp.asarray(batch.dx_t), jnp.asarray(_build_consts()),
-        jnp.asarray(_context_lut_chunks()), jnp.asarray(dict_t),
-        jnp.asarray(tfm), jnp.asarray(tfs), jnp.asarray(batch.scal),
+    args = [jnp.asarray(x) for x in (
+        batch.wt, batch.lit_t, batch.cmd_t, batch.dist_t, batch.bsw_t,
+        batch.cmap_t, batch.dx_t, _build_consts(), _context_lut_chunks(),
+        dict_t, tfm, tfs, batch.scal,
+    )]
+    return kernel, args, n_out_rows
+
+
+def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
+                 interpret: bool = False, use_dict: bool = True,
+                 row_budget: int | None = None):
+    """Run the fused kernel; returns (out (G,n_out+8,8,128) np, n_out_rows).
+
+    Rows n_out..n_out+4 of each group: err, r_lane, phase, mbl, widx."""
+    kernel, args, n_out_rows = staged_v3(
+        batch, H=H, D=D, interpret=interpret, use_dict=use_dict,
+        row_budget=row_budget,
     )
+    out = kernel(*args)
     return (
         np.asarray(out).reshape(batch.groups, n_out_rows + 8, SUB, LANES),
         n_out_rows,

@@ -216,17 +216,13 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
                     add_lo = add_lo | (b << (8 * j))
                 else:
                     add_hi = add_hi | (b << (8 * (j - 4)))
-            e_u = e.astype(jnp.uint32)
-            mask_lo = (jnp.uint32(1) << jnp.minimum(e_u, 4) * 8) - 1
+            # (min/shift arithmetic in i32: Mosaic has no arith.minui)
+            e4 = jnp.minimum(e, 4)
+            mask_lo = (jnp.uint32(1) << (e4 * 8).astype(jnp.uint32)) - 1
             mask_lo = jnp.where(e >= 4, jnp.uint32(0xFFFFFFFF), mask_lo)
-            mask_hi = jnp.where(
-                e > 4,
-                jnp.where(
-                    e >= 8, jnp.uint32(0xFFFFFFFF),
-                    (jnp.uint32(1) << ((e_u - 4) * 8)) - 1,
-                ),
-                jnp.uint32(0),
-            )
+            e_hi = jnp.clip(e - 4, 0, 4)
+            mask_hi = (jnp.uint32(1) << (e_hi * 8).astype(jnp.uint32)) - 1
+            mask_hi = jnp.where(e >= 8, jnp.uint32(0xFFFFFFFF), mask_hi)
             fifo_append8(st, add_lo & mask_lo, add_hi & mask_hi, e)
             st["cp_rem"] = st["cp_rem"] - e
             return st

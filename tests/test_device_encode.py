@@ -6,6 +6,8 @@ import pytest
 from brotli_tpu.decode import decode
 from brotli_tpu.ops.device_encode import encode_device_batch
 
+from conftest import VECTORS_DIR
+
 ALICE = open("/root/reference/test/fixtures/vectors/alice29.txt", "rb").read()
 
 
@@ -117,3 +119,29 @@ def test_device_encode_32k_chunks():
     from brotli_tpu.decode import decode
 
     assert b"".join(decode(s) for s in streams) == data
+
+
+def test_context_mapped_encode_v3_decode():
+    """lit_ctx_trees>1: device encoder emits context-mapped literal trees
+    (UTF8 mode, clustered per table group); streams round-trip on host AND
+    decode on-device through the v3 fused kernel, binning by the shared
+    per-group table signature (the at-scale full-format decode workload)."""
+    from brotli_tpu.ops import pallas_decode3 as P3
+
+    data = open(f"{VECTORS_DIR}/alice29.txt", "rb").read()[: 8 * 1024]
+    streams = encode_device_batch(
+        data, chunk_size=1024, lit_ctx_trees=4, table_groups=2,
+        interpret=True,
+    )
+    # host golden round-trip
+    got = b"".join(decode(s) for s in streams)
+    assert got == data
+    # streams within a table group share the full signature -> few groups
+    batch = P3.preflight_v3(streams)
+    assert batch is not None and batch.groups <= 2
+    from brotli_tpu.ops.pallas_decode2 import fallback_stats
+
+    before = fallback_stats()["lanes_fallback"]
+    got3 = P3.decode_batch_v3(streams, H=2048, interpret=True)
+    assert got3 == [data[i : i + 1024] for i in range(0, len(data), 1024)]
+    assert fallback_stats()["lanes_fallback"] == before
