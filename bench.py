@@ -123,7 +123,7 @@ def main() -> None:
     # untimed first run: trim the all-pad token tail the entropy row budget
     # over-provisions (the resolve cursor walks every row it is given)
     out0 = kernel(*args)
-    r_cap = P2.used_token_rows(out0[:rows])
+    r_cap = P2.used_token_rows(out0, n_blocks)
     rkernel = PR.get_resolve_kernel(r_cap, n_out, E2E_H // 4, PR.DEFAULT_DT,
                                     E2E_GROUPS, None, False)
     scal_j = jnp.asarray(mlens.astype(np.int32).reshape(E2E_GROUPS * 8, 128))

@@ -52,6 +52,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ]
+        pf = lib.brotli_native_preflight_batch
+        pf.restype = ctypes.c_int
+        pf.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 4
+            + [ctypes.c_void_p] * 6
+        )
         dec = lib.brotli_native_decode
         dec.restype = ctypes.c_int
         dec.argtypes = (
@@ -93,6 +100,41 @@ def lz_resolve_batch_v2(tokens, expected_lens, n_threads: int = 8):
         n_threads,
     )
     return out, lens
+
+
+def preflight_batch_native(streams):
+    """Parse all streams' headers + first-metablock tables in one native
+    call; returns (scalars (n,8) i64, lit (n,630), cmd (n,1080),
+    dist (n,920), dist_extra (n,544), dist_offset (n,544)).
+
+    scalars rows: [eligible, mlen, cmd_start_bit, npostfix, ndirect,
+    wbits, 0, 0] — eligible means v2-device-eligible (single compressed
+    ISLAST metablock, trivial entropy layout)."""
+    import numpy as np
+
+    lib = get_lib()
+    T = _decoder_tables()
+    n = len(streams)
+    data = np.frombuffer(b"".join(streams) + b"\x00", dtype=np.uint8)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(streams):
+        offsets[i + 1] = offsets[i] + len(s)
+    lit = np.zeros((n, 630), np.int32)
+    cmd = np.zeros((n, 1080), np.int32)
+    dist = np.zeros((n, 920), np.int32)
+    dxe = np.zeros((n, 544), np.int32)
+    dxo = np.zeros((n, 544), np.int32)
+    scal = np.zeros((n, 8), np.int64)
+    p = ctypes.c_void_p
+    lib.brotli_native_preflight_batch(
+        data.ctypes.data_as(p), offsets.ctypes.data_as(p), n,
+        T["blen_nbits"].ctypes.data_as(p), T["blen_offset"].ctypes.data_as(p),
+        T["clc_order"].ctypes.data_as(p), T["clc_lengths"].ctypes.data_as(p),
+        lit.ctypes.data_as(p), cmd.ctypes.data_as(p), dist.ctypes.data_as(p),
+        dxe.ctypes.data_as(p), dxo.ctypes.data_as(p),
+        scal.ctypes.data_as(p),
+    )
+    return scal, lit, cmd, dist, dxe, dxo
 
 
 # ---------------------------------------------------------------------------

@@ -856,4 +856,90 @@ int brotli_native_decode(
   return 0;
 }
 
+
+// Batch header preflight for the v2 lockstep decode path: parses each
+// stream's prologue + first-metablock tables and reports device
+// eligibility (single compressed ISLAST metablock, trivial entropy layout:
+// one block type per category, one literal tree, one distance tree).
+// Replaces the per-stream Python header parse that cost ~1 ms/stream on
+// the 1-core host (bench preflight_ms_per_batch).
+//
+// data: concatenated streams; offsets: (n_streams+1) byte offsets.
+// Outputs per stream i (row-major):
+//   lit_tables (630), cmd_tables (1080), dist_tables (920),
+//   dist_extra (544), dist_offset (544),
+//   scalars (8): [eligible, mlen, cmd_start_bit, npostfix, ndirect, wbits,
+//                 0, 0]
+int brotli_native_preflight_batch(
+    const uint8_t* data, const int64_t* offsets, int64_t n_streams,
+    const int32_t* blen_nbits, const int32_t* blen_offset,
+    const int32_t* clc_order, const int32_t* clc_lengths,
+    int32_t* lit_tables, int32_t* cmd_tables, int32_t* dist_tables,
+    int32_t* dist_extra_out, int32_t* dist_offset_out, int64_t* scalars) {
+  Tables T{nullptr, nullptr, nullptr, nullptr, blen_nbits, blen_offset,
+           nullptr, nullptr, clc_order, clc_lengths,
+           nullptr, nullptr, nullptr, 0, nullptr, nullptr, nullptr, 0};
+  for (int64_t i = 0; i < n_streams; i++) {
+    int64_t* sc = scalars + i * 8;
+    for (int k = 0; k < 8; k++) sc[k] = 0;
+    const uint8_t* p = data + offsets[i];
+    int64_t len = offsets[i + 1] - offsets[i];
+    Err e;
+    BitReader br(p, len);
+    int wbits;
+    if (br.read(1, e) == 0) {
+      wbits = 16;
+    } else {
+      int n = br.read(3, e);
+      if (n != 0) {
+        wbits = 17 + n;
+      } else {
+        n = br.read(3, e);
+        if (n == 1) continue;            // large-window: host path
+        wbits = n != 0 ? 8 + n : 17;
+      }
+    }
+    bool input_end = br.read(1, e) != 0;
+    if (!input_end) continue;            // multi-metablock: host path
+    if (br.read(1, e)) continue;         // ISLAST+ISEMPTY
+    int64_t mbl;
+    bool is_uncompressed, is_metadata;
+    if (read_metablock_length(br, input_end, &mbl, &is_uncompressed,
+                              &is_metadata, e))
+      continue;
+    if (is_metadata || is_uncompressed || mbl == 0 || e.code) continue;
+    MetablockState st;
+    if (st.init(T, br, false, e) || e.code) continue;
+    if (st.num_types[0] != 1 || st.num_types[1] != 1 || st.num_types[2] != 1
+        || st.lit_group.size() != 1 || st.dist_group.size() != 1
+        || !st.trivial_literal)
+      continue;
+    auto copy_tab = [](int32_t* dst, const std::vector<int32_t>& src,
+                      int cap) {
+      int n = std::min<int>(cap, static_cast<int>(src.size()));
+      std::memcpy(dst, src.data(), n * sizeof(int32_t));
+      for (int k = n; k < cap; k++) dst[k] = 0;
+    };
+    copy_tab(lit_tables + i * 630, st.lit_group[0], 630);
+    copy_tab(cmd_tables + i * 1080, st.cmd_group[0], 1080);
+    copy_tab(dist_tables + i * 920, st.dist_group[0], 920);
+    int32_t* dxe = dist_extra_out + i * 544;
+    int32_t* dxo = dist_offset_out + i * 544;
+    for (int k = 0; k < 544; k++) { dxe[k] = 0; dxo[k] = 0; }
+    int nd = std::min<int>(544, static_cast<int>(st.dist_extra.size()));
+    for (int k = 0; k < nd; k++) {
+      dxe[k] = st.dist_extra[k];
+      dxo[k] = st.dist_offset[k];
+    }
+    sc[0] = 1;
+    sc[1] = mbl;
+    sc[2] = br.bitpos_;
+    sc[3] = st.npostfix;
+    sc[4] = st.ndirect;
+    sc[5] = wbits;
+  }
+  return 0;
+}
+
 }  // extern "C"
+

@@ -122,6 +122,34 @@ def preflight(data: bytes) -> PreflightResult | None:
     )
 
 
+def preflight_many(streams: list[bytes]) -> list[PreflightResult | None]:
+    """Batch preflight via the native C++ header parser (decoder.cpp),
+    one call for the whole batch — the per-stream Python parse cost
+    ~1 ms/stream on the 1-core host (bench preflight_ms_per_batch).
+    Falls back to the Python parser when the native library is missing."""
+    try:
+        from ..native import preflight_batch_native
+
+        scal, lit, cmd, dist, dxe, dxo = preflight_batch_native(streams)
+    except Exception:
+        return [preflight(s) for s in streams]
+    out: list[PreflightResult | None] = []
+    for i, s in enumerate(streams):
+        if scal[i, 0] != 1:
+            out.append(None)
+            continue
+        pad = (-len(s)) % 4 + 12
+        words = np.frombuffer(bytes(s) + b"\x00" * pad, dtype="<u4")
+        out.append(PreflightResult(
+            words=words, cmd_start_bit=int(scal[i, 2]), mlen=int(scal[i, 1]),
+            max_backward=(1 << int(scal[i, 5])) - 16,
+            lit_table=lit[i], cmd_table=cmd[i], dist_table=dist[i],
+            dist_extra=dxe[i], dist_offset=dxo[i],
+            npostfix=int(scal[i, 3]), ndirect=int(scal[i, 4]),
+        ))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the jitted lockstep kernel
 # ---------------------------------------------------------------------------

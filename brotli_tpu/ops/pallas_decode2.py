@@ -567,7 +567,10 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
             (jnp.int32(0), jnp.int32(D), flatten_states(inits)),
         )
         sts = unflatten_states(st_t)
-        # status tail: row 0 phase, row 1 widx (per group, stacked sublanes)
+        # status tail: row 0 phase, row 1 widx (per group, stacked
+        # sublanes), row 2 the exit block (token rows actually produced —
+        # rows past blk*block_rows are un-DMA'd HBM garbage, so consumers
+        # must bound their token reads by this, not by a content scan)
         staging[0] = (
             sts[0]["phase"].astype(jnp.uint32) if G == 1
             else jnp.concatenate([st["phase"].astype(jnp.uint32) for st in sts], axis=0)
@@ -575,6 +578,9 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
         staging[1] = (
             sts[0]["widx"].astype(jnp.uint32) if G == 1
             else jnp.concatenate([st["widx"].astype(jnp.uint32) for st in sts], axis=0)
+        )
+        staging[2] = (
+            jnp.zeros((G * SUB, LANES), jnp.uint32) + blk.astype(jnp.uint32)
         )
         dma_tail = pltpu.make_async_copy(
             staging.at[pl.ds(0, 8)],
@@ -675,16 +681,13 @@ def preflight_shared(streams: list[bytes], D: int = 64,
     keeps per-group skew well inside the bound.  Results map back through
     batch.perm.
     """
-    from .device_decode import preflight
+    from .device_decode import preflight_many
 
     if not streams or len(streams) > NSTREAM * groups:
         return None
-    pres = []
-    for s in streams:
-        p = preflight(s)
-        if p is None:
-            return None
-        pres.append(p)
+    pres = preflight_many(streams)
+    if any(p is None for p in pres):
+        return None
     p0 = pres[0]
     for p in pres[1:]:
         if (
@@ -783,18 +786,15 @@ def preflight_binned(streams: list[bytes],
     outputs, differently-tuned shards) decode on the fast path instead of
     degrading to the per-lane v1 kernel.
     """
-    from .device_decode import preflight
+    from .device_decode import preflight_many
 
     if max_groups is None:
         max_groups = MAX_GROUPS
     if not streams:
         return None
-    pres = []
-    for s in streams:
-        p = preflight(s)
-        if p is None:
-            return None
-        pres.append(p)
+    pres = preflight_many(streams)
+    if any(p is None for p in pres):
+        return None
     p0 = pres[0]
     bins: dict[bytes, list[int]] = {}
     for i, p in enumerate(pres):
@@ -1041,23 +1041,19 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
     return results  # type: ignore[return-value]
 
 
-def used_token_rows(tokens, block: int = 512) -> int:
-    """Last token row actually used, rounded up to `block` (device reduce +
-    one scalar fetch).
+def used_token_rows(out, n_blocks: int, block_rows: int = DEFAULT_BLOCK_ROWS,
+                    block: int = 512) -> int:
+    """Token rows the entropy kernel actually produced, from its status
+    tail (exit block), rounded up to `block`.
 
-    The entropy kernel's row budget (plan_blocks) is a worst case ~1.3x the
-    typical stream; the resolve kernel's shared token cursor must traverse
-    every row it is given, so handing it the full budget makes it sweep a
-    long all-pad tail.  Rounding keeps the resolve kernel's compile cache
-    small.
-    """
-    import jax.numpy as jnp
-
-    rows = tokens.shape[0]
-    nz = jnp.any(tokens != 0, axis=(1, 2))
-    last = rows - jnp.argmax(nz[::-1])          # rows if all-zero
-    n_used = int(jnp.where(jnp.any(nz), last, 0))
-    return min(rows, _round_up(max(n_used, 1), block))
+    The kernel's row budget (plan_blocks) is a worst case ~1.3x the typical
+    stream and the kernel exits early once every lane is DONE — rows past
+    the exit block are un-DMA'd HBM garbage, and the resolve kernel's
+    shared token cursor must traverse every row it is given.  Rounding
+    keeps the resolve kernel's compile cache small."""
+    rows = n_blocks * block_rows
+    blk = int(out[rows + 2, 0, 0])
+    return min(rows, _round_up(max(blk * block_rows, 1), block))
 
 
 def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
@@ -1095,7 +1091,7 @@ def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
     )
     rows = n_blocks * block_rows
     r_cap = min(rows, token_row_cap) if token_row_cap else \
-        used_token_rows(out[:rows])
+        used_token_rows(out, n_blocks, block_rows)
     tokens = out[:r_cap]                     # device slice
     phases = np.asarray(out[rows]).reshape(-1)   # tiny host fetch
     resolved, n_out_rows = resolve_tokens_device(

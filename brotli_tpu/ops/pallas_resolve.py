@@ -69,6 +69,13 @@ POPS_PER_ROW = 2          # shared token rows consumed per kernel row: must
 FLUSH = 32                # emitted rows per output DMA (must divide V)
 STAG_LIMIT = 192          # no-progress rows before declaring skew deadlock
 
+# byte-width of the per-lane pipeline: the O(V) ring sweeps dominate the
+# row cost, so wider rows amortize them (4 B -> 8 B -> 16 B measured on
+# chip; the FIFO must hold one drain burst plus emission slack)
+FIFO_W = 5                # FIFO words per lane (20 B)
+DRAIN_B = 16              # copy bytes drained per row
+EMIT_W = 4                # output words emitted per row
+
 # lane error flags (bitmask in the status row)
 ERR_FAR_DIST = 1          # copy distance beyond the ring window
 ERR_STARVED = 2           # supply exhausted before mlen bytes
@@ -104,126 +111,136 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         dma0.start()
         dma0.wait()
 
-        def ring_read3(w0):
-            """Per-lane ring words (w0, w0+1, w0+2) mod V via one chained
+        def ring_readk(w0, K):
+            """Per-lane ring words (w0 .. w0+K-1) mod V via one chained
             one-hot sweep (manually 8x-unrolled fori; Mosaic supports only
             full/no unroll).  Carries as i32: Mosaic cannot round-trip i1
             loop carries."""
             q = jax.lax.rem(w0, V)
 
             def body(i, carry):
-                a0, a1, a2, m1_i, m2_i = carry
-                m1 = m1_i > 0     # prev iteration matched w0
-                m2 = m2_i > 0     # prev-prev matched w0
+                accs = list(carry[:K])
+                flags = [f > 0 for f in carry[K:]]   # match flags, prev..
                 for k in range(8):
                     v = 8 * i + k
                     rv = ring[v]
                     m = q == v
-                    a0 = jnp.where(m, rv, a0)
-                    a1 = jnp.where(m1, rv, a1)
-                    a2 = jnp.where(m2, rv, a2)
-                    m2 = m1
-                    m1 = m
-                return a0, a1, a2, m1.astype(jnp.int32), m2.astype(jnp.int32)
+                    accs[0] = jnp.where(m, rv, accs[0])
+                    for d in range(1, K):
+                        accs[d] = jnp.where(flags[d - 1], rv, accs[d])
+                    flags = [m] + flags[:-1]
+                return tuple(accs) + tuple(
+                    f.astype(jnp.int32) for f in flags
+                )
 
-            a0, a1, a2, _, _ = jax.lax.fori_loop(
-                0, V // 8, body, (zeros_u, zeros_u, zeros_u, zeros_i, zeros_i)
+            out = jax.lax.fori_loop(
+                0, V // 8, body,
+                tuple([zeros_u] * K) + tuple([zeros_i] * (K - 1)),
             )
-            a1 = jnp.where(q == V - 1, ring[0], a1)
-            a2 = jnp.where(q == V - 1, ring[1], a2)
-            a2 = jnp.where(q == V - 2, ring[0], a2)
-            return a0, a1, a2
+            accs = list(out[:K])
+            # wrap-around tails: word w0+d wraps to ring[(q+d) - V]
+            for d in range(1, K):
+                for w in range(d):
+                    accs[d] = jnp.where(q == V - (d - w), ring[w], accs[d])
+            return accs
 
-        # One ordered byte FIFO per lane (f0|f1|f2 = 12 bytes, oldest in f0
-        # LSB): literal pulls append to it, the active copy DRAINS into it
-        # at 8 B/row (decoupled from global emission — this is what makes
-        # copy tails < 8 bytes deadlock-free), emission takes 4 or 8 bytes.
+        # One ordered byte FIFO per lane (FIFO_W words, oldest byte in
+        # f0's LSB): literal pulls append to it, the active copy DRAINS
+        # into it at DRAIN_B B/row (decoupled from global emission — this
+        # is what makes short copy tails deadlock-free), emission retires
+        # up to EMIT_W words per row.
         # `qp` = bytes ever queued; emitted boundary = qp - cnt = 4*r_lane.
+        FKEYS = [f"f{i}" for i in range(FIFO_W)]
         state0 = dict(
-            f0=zeros_u, f1=zeros_u, f2=zeros_u, cnt=zeros_i,
+            cnt=zeros_i,
             qp=zeros_i, r_lane=zeros_i,
             cp_dist=zeros_i, cp_rem=zeros_i,
             pend_len=jnp.full(S, -1, jnp.int32),
             err=zeros_i,
             tcnt=zeros_i,
+            **{k: zeros_u for k in FKEYS},
             **{f"tbuf{k}": zeros_u for k in range(KBUF)},
         )
         order = sorted(state0.keys())
 
-        def fifo_append8(st, add_lo, add_hi, n):
-            """Append n (<=8) bytes (LSB-first in add_lo|add_hi) at cnt."""
-            sh = (8 * st["cnt"]).astype(jnp.uint32)
+        def fifo_append(st, adds, n):
+            """Append n (<= 4*len(adds)) bytes (LSB-first across `adds`)
+            at byte offset cnt."""
             w = st["cnt"] >> 2           # word index of the append point
-            bit = sh & 31
+            bit = ((st["cnt"] & 3) * 8).astype(jnp.uint32)
             hi_sh = (32 - bit) & 31
-            lo_lo = add_lo << bit
-            lo_hi = jnp.where(bit > 0, add_lo >> hi_sh, jnp.uint32(0))
-            hi_lo = add_hi << bit
-            hi_hi = jnp.where(bit > 0, add_hi >> hi_sh, jnp.uint32(0))
-            for widx, key in enumerate(("f0", "f1", "f2")):
-                contrib = (
-                    jnp.where(w == widx, lo_lo, jnp.uint32(0))
-                    | jnp.where(w == widx - 1, lo_hi | hi_lo, jnp.uint32(0))
-                    | jnp.where(w == widx - 2, hi_hi, jnp.uint32(0))
-                )
-                st[key] = st[key] | contrib
+            nzb = bit > 0
+            los = [a << bit for a in adds]
+            his = [jnp.where(nzb, a >> hi_sh, jnp.uint32(0)) for a in adds]
+            for t in range(FIFO_W):
+                contrib = zeros_u
+                for a in range(len(adds)):
+                    contrib = contrib | jnp.where(
+                        w == t - a, los[a], jnp.uint32(0)
+                    )
+                    contrib = contrib | jnp.where(
+                        w == t - a - 1, his[a], jnp.uint32(0)
+                    )
+                st[FKEYS[t]] = st[FKEYS[t]] | contrib
             st["cnt"] = st["cnt"] + n
             st["qp"] = st["qp"] + n
 
         def fifo_byte(st, fi):
-            """Byte `fi` (0..11) of the FIFO."""
-            sh = (8 * jnp.clip(fi, 0, 11)).astype(jnp.uint32)
-            w = jnp.clip(fi, 0, 11) >> 2
-            word = jnp.where(
-                w == 0, st["f0"], jnp.where(w == 1, st["f1"], st["f2"])
-            )
-            return (word >> (sh & 31)) & jnp.uint32(0xFF)
+            """Byte `fi` (0..FIFO_W*4-1) of the FIFO."""
+            cap = FIFO_W * 4 - 1
+            fic = jnp.clip(fi, 0, cap)
+            sh = ((fic & 3) * 8).astype(jnp.uint32)
+            w = fic >> 2
+            word = st[FKEYS[FIFO_W - 1]]
+            for t in range(FIFO_W - 2, -1, -1):
+                word = jnp.where(w == t, st[FKEYS[t]], word)
+            return (word >> sh) & jnp.uint32(0xFF)
 
         def drain(st):
-            """Move up to 8 bytes of the active copy into the FIFO."""
+            """Move up to DRAIN_B bytes of the active copy into the FIFO."""
             st = dict(st)
-            can = (st["cp_rem"] > 0) & (st["cnt"] <= 4) & (st["err"] == 0)
+            can = (
+                (st["cp_rem"] > 0) & (st["cnt"] <= FIFO_W * 4 - DRAIN_B)
+                & (st["err"] == 0)
+            )
             far = can & (st["cp_dist"] > H - 16)
             st["err"] = st["err"] | jnp.where(far, ERR_FAR_DIST, 0)
             can = can & ~far
-            e = jnp.where(can, jnp.minimum(st["cp_rem"], 8), 0)
+            e = jnp.where(can, jnp.minimum(st["cp_rem"], DRAIN_B), 0)
 
             src_base = st["qp"] - st["cp_dist"]
             w0 = jnp.maximum(src_base, 0) >> 2
-            f0, f1, f2 = ring_read3(w0)
+            K = DRAIN_B // 4 + 1
+            rw = ring_readk(w0, K)
             fsh = ((src_base & 3) * 8).astype(jnp.uint32)
             hi_sh = (32 - fsh) & 31
             nz = fsh > 0
-            fw_lo = (f0 >> fsh) | jnp.where(nz, f1 << hi_sh, jnp.uint32(0))
-            fw_hi = (f1 >> fsh) | jnp.where(nz, f2 << hi_sh, jnp.uint32(0))
+            fw = [
+                (rw[i] >> fsh)
+                | jnp.where(nz, rw[i + 1] << hi_sh, jnp.uint32(0))
+                for i in range(K - 1)
+            ]
             # fifo as a byte source for dist <= cnt (not yet emitted bytes)
             eb_off = st["cnt"] - st["cp_dist"]   # fifo index of src byte 0
-            add_lo = zeros_u
-            add_hi = zeros_u
+            adds = [zeros_u] * (K - 1)
             appended = []
-            for j in range(8):
-                ring_b = (
-                    (fw_lo if j < 4 else fw_hi) >> (8 * (j & 3))
-                ) & jnp.uint32(0xFF)
+            for j in range(DRAIN_B):
+                ring_b = (fw[j >> 2] >> (8 * (j & 3))) & jnp.uint32(0xFF)
                 fi = eb_off + j                  # fifo byte index of source
                 fifo_b = fifo_byte(st, fi)
                 b = jnp.where(fi >= 0, fifo_b, ring_b)
-                # dist < 8: source inside this row's appended run
+                # dist < DRAIN_B: source inside this row's appended run
                 for jj in range(j):
                     b = jnp.where((j - st["cp_dist"]) == jj, appended[jj], b)
                 appended.append(b)
-                if j < 4:
-                    add_lo = add_lo | (b << (8 * j))
-                else:
-                    add_hi = add_hi | (b << (8 * (j - 4)))
-            # (min/shift arithmetic in i32: Mosaic has no arith.minui)
-            e4 = jnp.minimum(e, 4)
-            mask_lo = (jnp.uint32(1) << (e4 * 8).astype(jnp.uint32)) - 1
-            mask_lo = jnp.where(e >= 4, jnp.uint32(0xFFFFFFFF), mask_lo)
-            e_hi = jnp.clip(e - 4, 0, 4)
-            mask_hi = (jnp.uint32(1) << (e_hi * 8).astype(jnp.uint32)) - 1
-            mask_hi = jnp.where(e >= 8, jnp.uint32(0xFFFFFFFF), mask_hi)
-            fifo_append8(st, add_lo & mask_lo, add_hi & mask_hi, e)
+                adds[j >> 2] = adds[j >> 2] | (b << (8 * (j & 3)))
+            # per-word byte masks (i32 min/shift: Mosaic has no arith.minui)
+            for a in range(K - 1):
+                ea = jnp.clip(e - 4 * a, 0, 4)
+                mask = (jnp.uint32(1) << (ea * 8).astype(jnp.uint32)) - 1
+                mask = jnp.where(ea >= 4, jnp.uint32(0xFFFFFFFF), mask)
+                adds[a] = adds[a] & mask
+            fifo_append(st, adds, e)
             st["cp_rem"] = st["cp_rem"] - e
             return st
 
@@ -266,7 +283,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
                 & (st["err"] == 0) & (st["qp"] < mlen)
             )
             tag = (t >> 30).astype(jnp.int32)
-            is_lit = can & (tag == 0) & (st["cnt"] <= 9)
+            is_lit = can & (tag == 0) & (st["cnt"] <= FIFO_W * 4 - 3)
             is_len = can & (tag == 1)
             is_dist = can & (tag == 2)
             is_fused = can & (tag == 3)
@@ -274,8 +291,8 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             cnt_t = ((t >> 24) & 3).astype(jnp.int32)
             payload = t & jnp.uint32(0xFFFFFF)
             st2 = dict(st)
-            fifo_append8(st2, payload, jnp.uint32(0), cnt_t)
-            for k2 in ("f0", "f1", "f2", "cnt", "qp"):
+            fifo_append(st2, [payload], cnt_t)
+            for k2 in FKEYS + ["cnt", "qp"]:
                 st[k2] = jnp.where(is_lit, st2[k2], st[k2])
 
             st["pend_len"] = jnp.where(
@@ -310,9 +327,9 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             return st
 
         def emit(st, flush_base):
-            """Per-lane emission of up to TWO output words per row: write
-            the FIFO's low words to the lane's own ring rows (chained
-            scatter sweep) and advance its row counter.
+            """Per-lane emission of up to EMIT_W output words per row:
+            write the FIFO's low words to the lane's own ring rows (one
+            chained scatter sweep) and advance its row counter.
 
             Per-lane (not lockstep) so no lane's starvation can wedge
             another's progress; the flush frontier caps how far ahead a
@@ -321,42 +338,40 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             P0 = 4 * st["r_lane"]
             done = (st["err"] != 0) | (P0 >= mlen)
             room = (flush_base + (V - FLUSH)) - st["r_lane"]
-            need = jnp.clip(mlen - P0, 0, 8)
-            # words this row: 2 when a full 8 B (or the whole tail) is
-            # ready, 1 when >= 4 B (or the whole tail) is ready
-            nw = jnp.where(
-                ~done & (room >= 2) & ((st["cnt"] >= 8)
-                                       | ((st["cnt"] >= need) & (need > 4))),
-                2,
-                jnp.where(
-                    ~done & (room >= 1)
-                    & ((st["cnt"] >= 4)
-                       | ((st["cnt"] >= need) & (need <= 4) & (need > 0))),
-                    1, 0,
-                ),
+            need = jnp.clip(mlen - P0, 0, 4 * EMIT_W)
+            # words this row: as many complete words as are buffered (or
+            # the whole tail), capped by EMIT_W and the flush-frontier room
+            full_w = st["cnt"] >> 2
+            tail_w = jnp.where(
+                (st["cnt"] >= need) & (need > 0), (need + 3) >> 2, 0
             )
-            w0 = st["f0"]
-            w1 = st["f1"]
-            q0 = jnp.where(nw >= 1, jax.lax.rem(st["r_lane"], V), -1)
-            q1m = jnp.where(nw >= 2, jax.lax.rem(st["r_lane"] + 1, V), -1)
+            nw = jnp.maximum(full_w, tail_w)
+            nw = jnp.minimum(jnp.minimum(nw, EMIT_W), jnp.maximum(room, 0))
+            nw = jnp.where(done, 0, nw)
+            qs = [
+                jnp.where(nw >= k + 1, jax.lax.rem(st["r_lane"] + k, V), -1)
+                for k in range(EMIT_W)
+            ]
+            ws = [st[FKEYS[k]] for k in range(EMIT_W)]
 
             def wbody(i, _):
                 for k in range(8):
                     v = 8 * i + k
                     rv = ring[v]
-                    rv = jnp.where(q0 == v, w0, rv)
-                    rv = jnp.where(q1m == v, w1, rv)
+                    for k2 in range(EMIT_W):
+                        rv = jnp.where(qs[k2] == v, ws[k2], rv)
                     ring[v] = rv
                 return 0
 
             jax.lax.fori_loop(0, V // 8, wbody, 0)
-            st["f0"] = jnp.where(
-                nw == 2, st["f2"], jnp.where(nw == 1, st["f1"], st["f0"])
-            )
-            st["f1"] = jnp.where(
-                nw == 2, zeros_u, jnp.where(nw == 1, st["f2"], st["f1"])
-            )
-            st["f2"] = jnp.where(nw >= 1, zeros_u, st["f2"])
+            # shift the FIFO down by nw words (reads from the originals)
+            orig = [st[k] for k in FKEYS]
+            for t in range(FIFO_W):
+                acc = jnp.where(nw == 0, orig[t], zeros_u)
+                for s in range(1, EMIT_W + 1):
+                    src = orig[t + s] if t + s < FIFO_W else zeros_u
+                    acc = jnp.where(nw == s, src, acc)
+                st[FKEYS[t]] = acc
             st["cnt"] = jnp.maximum(st["cnt"] - 4 * nw, 0)
             st["r_lane"] = st["r_lane"] + nw
             return st

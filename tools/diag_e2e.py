@@ -67,7 +67,7 @@ def main():
           flush=True)
 
     t0 = time.time()
-    r_cap = P2.used_token_rows(out[:rows])
+    r_cap = P2.used_token_rows(out, n_blocks)
     print(f"token rows: budget {rows} used<= {r_cap} ({time.time()-t0:.1f}s)",
           flush=True)
 
