@@ -49,8 +49,8 @@ BASELINE_ENCODE_MBPS = 15.0   # reference q11 encode, M2 Max single core
 # the TEXT corpus (narrow compression-rate spread) with rate-sorted slots,
 # while the entropy-phase metric keeps round-1's mixed corpus.
 E2E_CHUNK = 8192
-E2E_H = 4096
-E2E_GROUPS = 1
+E2E_H = 2048      # resolve ring (V=512): the O(V) sweeps bound throughput
+E2E_GROUPS = 4    # 4096 streams, 33.6 MB timed batch
 ENT_CHUNK = 32768
 ENT_GROUPS = 8
 ENC_CHUNK = 32768

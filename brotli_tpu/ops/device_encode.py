@@ -105,12 +105,12 @@ def _ilog2(x):
     return (bits >> 23) - 127
 
 
-@_functools.lru_cache(maxsize=1)
-def _utf8_ctx_runs():
-    """UTF8-mode (mode 2) context LUT as constant runs, for gather-free
-    on-device evaluation: two lists of (lo, hi, value) byte ranges for the
-    p1 and p2 halves (181 + 10 runs; XLA gather at ~0.07 G elem/s makes a
-    plain table lookup unusable at batch scale)."""
+@_functools.lru_cache(maxsize=4)
+def _ctx_runs(mode: int):
+    """Context LUT for `mode` as constant runs, for gather-free on-device
+    evaluation: two lists of (lo, hi, value) byte ranges for the p1 and p2
+    halves (UTF8: 181 + 10 runs, signed: 8 + 8; XLA gather at ~0.07 G
+    elem/s makes a plain table lookup unusable at batch scale)."""
     from ..decode.engine import _CONTEXT_LUT
 
     def runs(seg):
@@ -123,19 +123,23 @@ def _utf8_ctx_runs():
                 lo = i
         return tuple(out)
 
-    return runs(_CONTEXT_LUT[1024:1280]), runs(_CONTEXT_LUT[1280:1536])
+    base = mode * 512
+    return (
+        runs(_CONTEXT_LUT[base : base + 256]),
+        runs(_CONTEXT_LUT[base + 256 : base + 512]),
+    )
 
 
-def _literal_context(d32, N):
-    """(B, N) UTF8-mode literal context ids (0..63): lut[p1] | lut[256+p2],
-    evaluated as compare-select chains over the LUT's constant runs."""
+def _literal_context(d32, N, mode: int):
+    """(B, N) literal context ids (0..63) for `mode`:
+    lut[p1] | lut[256+p2], as compare-select chains over constant runs."""
     import jax.numpy as jnp
 
     B = d32.shape[0]
     z1 = jnp.zeros((B, 1), jnp.int32)
     p1 = jnp.concatenate([z1, d32[:, : N - 1]], axis=1)
     p2 = jnp.concatenate([z1, z1, d32[:, : N - 2]], axis=1)
-    runs1, runs2 = _utf8_ctx_runs()
+    runs1, runs2 = _ctx_runs(mode)
     ctx = jnp.zeros((B, N), jnp.int32)
     for lo, hi, val in runs1:
         m = (p1 >= lo) & (p1 <= hi) if lo != hi else (p1 == lo)
@@ -514,7 +518,13 @@ def build_records(data_u8, mlen, mdist, is_cs, is_lit, dcode_short, n_valid,
     )
     lit_code = d32
     if lit_ctx:
-        lit_code = d32 | (_literal_context(d32, N) << 14)
+        # both candidate context modes ride in the record; the table-group
+        # clustering later picks UTF8 (text) or SIGNED (binary) per group
+        lit_code = (
+            d32
+            | (_literal_context(d32, N, 2) << 14)
+            | (_literal_context(d32, N, 3) << 20)
+        )
     code = jnp.where(
         emit_cmd, cmd_code,
         jnp.where(is_dist_slot, sh(dcode), jnp.where(is_lit, lit_code, 0)),
@@ -677,14 +687,20 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
             live = kind != K_PAD
 
             if nt > 1:
-                # context-mapped literal tree: ctx (rec0 bits 14-19) ->
-                # tree via the lane's group's context map chunk
-                ctx = (rec0 >> 14) & 0x3F
+                # context-mapped literal tree: the record carries both
+                # candidate context ids (UTF8 at bits 14-19, SIGNED at
+                # 20-25); each group's cmap chunk selects its mode (flag at
+                # entry 127) and maps ctx -> tree
+                ctx_u = (rec0 >> 14) & 0x3F
+                ctx_s = (rec0 >> 20) & 0x3F
                 tree = jnp.zeros(S, jnp.int32)
                 for g in range(n_groups):
-                    got = jnp.take_along_axis(
-                        cmap_ref[g * 8:(g + 1) * 8, :], ctx & 127, axis=1
+                    chunk = cmap_ref[g * 8:(g + 1) * 8, :]
+                    flag = jax.lax.broadcast_in_dim(
+                        chunk[:, 127:128], S, (0, 1)
                     )
+                    ctx_g = jnp.where(flag > 0, ctx_s, ctx_u)
+                    got = jnp.take_along_axis(chunk, ctx_g & 127, axis=1)
                     tree = jnp.where(grp == g, got, tree)
                 lit_idx = tree * 256 + (code & 0xFF)
             else:
@@ -840,15 +856,19 @@ def _jitted_group_hist(n_groups: int, stride: int):
     """Device histogrammer: strided records + per-lane group ids -> flat
     (G*_HG+1,) counts via one bincount (scatter-add).  Replaces bulk
     sample fetches: the host only downloads the compact counts, so dense
-    histograms cost ~30 ms of device scatter instead of an 8 MB transfer."""
+    histograms cost ~30 ms of device scatter instead of an 8 MB transfer.
+    `signed_mode` selects per lane which of the record's two context-id
+    fields (UTF8 at bits 14-19, SIGNED at 20-25) keys the literal bins."""
     import jax
     import jax.numpy as jnp
 
-    def hist(rec0, grp):
+    def hist(rec0, grp, signed_mode):
         sub = rec0[:, ::stride]
         kind = (sub >> 28) & 0xF
         code = sub & 0x3FFF
-        ctx = (sub >> 14) & 0x3F
+        ctx = jnp.where(
+            signed_mode[:, None] > 0, (sub >> 20) & 0x3F, (sub >> 14) & 0x3F
+        )
         base = grp[:, None] * _HG
         key = jnp.where(
             kind == K_LIT, base + ctx * 256 + (code & 0xFF),
@@ -937,14 +957,24 @@ def _cluster_lanes(rec0_sample: np.ndarray, n_groups: int,
     """
     B = rec0_sample.shape[0]
     group = np.zeros(B, np.int64)
+    kinds = (rec0_sample >> 28) & 0xF
+    feats = np.zeros((B, 32), np.int64)
+    for lane in range(min(B, n_chunks)):
+        lc = rec0_sample[lane][kinds[lane] == K_LIT] & 0xFF
+        np.add.at(feats[lane], lc >> 3, 1)
     if n_groups > 1:
-        kinds = (rec0_sample >> 28) & 0xF
-        feats = np.zeros((B, 32), np.int64)
-        for lane in range(min(B, n_chunks)):
-            lc = rec0_sample[lane][kinds[lane] == K_LIT] & 0xFF
-            np.add.at(feats[lane], lc >> 3, 1)
         group[:n_chunks] = _cluster_rows(feats[:n_chunks], n_groups)
-    return group
+    # per-group literal context mode: binary-looking groups (frequent
+    # high bytes) use the SIGNED context, text the UTF8 context — the
+    # device analog of the reference's chooseContextMode (context.ts:179)
+    n_used = int(group[:n_chunks].max()) + 1
+    modes = []
+    for j in range(n_used):
+        sel = group[:n_chunks] == j
+        f = feats[:n_chunks][sel].sum(axis=0)
+        total = max(int(f.sum()), 1)
+        modes.append(3 if int(f[16:].sum()) / total > 0.25 else 2)
+    return group, modes
 
 
 def _header_bits(mlen: int, lgwin: int, grp_tables: dict) -> "object":
@@ -968,8 +998,8 @@ def _header_bits(mlen: int, lgwin: int, grp_tables: dict) -> "object":
     store_var_len_uint8(w, 0)  # NBLTYPESD - 1
     w.write(2, 0)              # NPOSTFIX
     w.write(4, 0)              # NDIRECT >> NPOSTFIX
-    # context mode: UTF8 when context-mapped, LSB6 otherwise
-    w.write(2, 2 if nt > 1 else 0)
+    # context mode: per-group choice (UTF8/SIGNED) when context-mapped
+    w.write(2, grp_tables.get("mode", 0) if nt > 1 else 0)
     encode_context_map(w, list(grp_tables["cmap"]), nt)
     encode_context_map(w, [0, 0, 0, 0], 1)   # trivial distance cmap
     for lit in lits:
@@ -1133,20 +1163,27 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
 
     # ---- lane clustering (coarse host sample) + dense device hists ----
     rec0_sample = np.asarray(state["rec0_sample_dev"])
-    group_of = _cluster_lanes(rec0_sample, table_groups, n_chunks)
-    n_used_groups = int(group_of[:n_chunks].max()) + 1
+    group_of, group_modes = _cluster_lanes(rec0_sample, table_groups, n_chunks)
+    n_used_groups = len(group_modes)
+    signed_mode = np.asarray(
+        [group_modes[g] == 3 for g in group_of], np.int32
+    )
     hist_fn = _jitted_group_hist(n_used_groups, state["hist_stride"])
     flat_hist = np.asarray(
-        hist_fn(rec0, jnp.asarray(group_of.astype(np.int32)))
+        hist_fn(rec0, jnp.asarray(group_of.astype(np.int32)),
+                jnp.asarray(signed_mode))
     )
     tables = [
         _group_tables_from_hists(*_split_group_hist(flat_hist, j), nt)
         for j in range(n_used_groups)
     ]
+    for j, t in enumerate(tables):
+        t["mode"] = group_modes[j] if nt > 1 else 0
     tab_np = np.concatenate([_pack_symbol_table(t, nt) for t in tables])
     cmap_np = np.zeros((table_groups * 8, 128), np.int32)
     for j, t in enumerate(tables):
         cmap_np[j * 8:(j + 1) * 8, :64] = t["cmap"][None, :]
+        cmap_np[j * 8:(j + 1) * 8, 127] = 1 if t.get("mode") == 3 else 0
     # pad the table stack to the requested group count (static kernel shape)
     if len(tables) < table_groups:
         tab_np = np.concatenate(

@@ -17,27 +17,28 @@ scalar-CPU design with no analog here):
   w0+1/w0+2 compares reuse the previous iterations' results) — the
   measured-cheapest per-lane gather on this hardware (XLA gather: ~0.07 G
   elem/s; tpu.dynamic_gather: lane-shared tables only).  Writes are a
-  symmetric two-word scatter sweep.  The sweeps are O(V) per row, so the
-  kernel amortizes them over EIGHT bytes per lane per row (round 2 moved
-  four): drain pulls 8 B of an active copy, emission retires 2 ring words.
+  symmetric scatter sweep.  The sweeps are O(V) per row, so the kernel
+  amortizes them over SIXTEEN bytes per lane per row (round 2 moved four):
+  drain pulls 16 B of an active copy, emission retires up to 4 ring words.
+  (Measured on chip: 4 B -> 287 MB/s, 16 B + H=2048 -> 775 MB/s e2e.)
 * **Uniform token intake.**  The entropy kernel produced every lane's
   token for shared row r in lockstep, so resolve re-reads that shared row
-  axis: two consecutive rows per kernel row from a (DT, 8, 128) sliding
-  VMEM window (scalar-indexed, O(1)) — matching the 2-pull consumption rate
+  axis: POPS_PER_ROW consecutive rows per kernel row from a (DT, 8, 128)
+  sliding VMEM window (scalar-indexed, O(1)) — matching the pull rate
   (a 1-row intake bounds literal-heavy lanes at half speed).  Each lane
   parks its token in a K-deep register FIFO until its byte stream reaches
   it; the shared row cursor advances only when every still-buffering lane
   has space.
 * **Per-lane progress, ordered byte FIFO.**  Each lane independently pulls
-  buffered tokens (literals append to a 12-byte FIFO; copies drain into it
-  at up to 8 B/row from the ring) and emits up to two output words per row
+  buffered tokens (literals append to a 20-byte FIFO; copies drain into it
+  at up to 16 B/row from the ring) and emits up to 4 output words per row
   at its own pace — no global emission barrier, so one lane's token
   starvation or long copy drain can throttle but never wedge the others.
   Output blocks flush to HBM as the minimum live lane row passes them; the
   flush frontier in turn caps how far ahead a lane may run (V - FLUSH
   rows).
-* **Copies with dist < 8** replicate from bytes appended earlier in the
-  same row / still in the FIFO; dist in [8, H-16] reads the ring;
+* **Copies with dist < 16** replicate from bytes appended earlier in the
+  same row / still in the FIFO; longer dists within [.., H-16] read the ring;
   dist > H-16 flags the lane (host fallback).  The device encoder avoids
   far distances by construction (max_distance, ops/device_encode.py).
 
@@ -61,11 +62,12 @@ DEFAULT_H = 4096          # history window bytes per stream (V = H/4 vregs)
 MAX_DEVICE_DISTANCE = DEFAULT_H - 16  # encoder-side cap for device streams
 DEFAULT_DT = 64           # token window rows in VMEM (uniform slide)
 KBUF = 8                  # per-lane token buffer depth (register FIFO)
-PULLS_PER_ROW = 2         # buffer-head consumptions per lane per row
-POPS_PER_ROW = 2          # shared token rows consumed per kernel row: must
-                          # match the pull rate or token-dense regions (and
-                          # the all-pad tail) bound the whole kernel at one
-                          # token row per kernel row
+PULLS_PER_ROW = 3         # buffer-head consumptions per lane per row
+POPS_PER_ROW = 4          # shared token rows consumed per kernel row: must
+                          # keep up with the pull rate or token-dense
+                          # regions (and the all-pad tail) bound the whole
+                          # kernel at one token row per kernel row — with
+                          # 16 B emission the intake is the binding rate
 FLUSH = 32                # emitted rows per output DMA (must divide V)
 STAG_LIMIT = 192          # no-progress rows before declaring skew deadlock
 
@@ -251,11 +253,12 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             each row pops only if every still-buffering lane has space
             (pads skipped for free).  Returns (st, n_popped scalar)."""
             st = dict(st)
-            t0 = twin[jax.lax.rem(r_pop, DT)]
-            t1 = twin[jax.lax.rem(r_pop + 1, DT)]
+            trows = [
+                twin[jax.lax.rem(r_pop + k, DT)] for k in range(POPS_PER_ROW)
+            ]
 
             n_popped = jnp.int32(0)
-            for t, roff in ((t0, 0), (t1, 1)):
+            for roff, t in enumerate(trows):
                 buffering = (st["err"] == 0) & (st["qp"] < mlen)
                 can_pop = (
                     jnp.all(~buffering | (st["tcnt"] < KBUF))
@@ -354,6 +357,10 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             ]
             ws = [st[FKEYS[k]] for k in range(EMIT_W)]
 
+            # full one-hot scatter sweep.  (A banded variant that visited
+            # only the WBAND rows past the flush frontier via dynamic
+            # scalar-indexed ring writes WEDGED the chip — scalar-dynamic
+            # VMEM read-modify-write in a fori body is not hardware-safe.)
             def wbody(i, _):
                 for k in range(8):
                     v = 8 * i + k

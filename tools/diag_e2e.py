@@ -18,7 +18,8 @@ sys.path.insert(0, "/root/repo")
 
 CHUNK = int(sys.argv[1]) * 1024 if len(sys.argv) > 1 else 8192
 GROUPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-H = 4096
+import os
+H = int(os.environ.get("DIAG_H", 4096))
 
 TEXT_FIXTURES = (
     "/root/reference/test/fixtures/vectors/alice29.txt",
