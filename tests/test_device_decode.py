@@ -41,3 +41,38 @@ def test_device_batch_mixed_fallback():
     outs = decode_batch_device(streams)
     for out, d in zip(outs, datas):
         assert out == d
+
+
+def test_native_preflight_matches_python():
+    """The C++ batch header parser must be bit-identical to the Python
+    preflight on eligible, ineligible, and malformed streams."""
+    import numpy as np
+
+    from brotli_tpu.encode.sharded import encode_sharded
+    from brotli_tpu.ops.device_decode import preflight, preflight_many
+
+    data = open(f"{VECTORS_DIR}/alice29.txt", "rb").read()[: 48 * 1024]
+    streams = encode_sharded(data, chunk_size=2048, max_distance=2032)
+    streams += [
+        b"\x1b\x76\x00",                                   # truncated
+        open(f"{VECTORS_DIR}/quickfox.compressed", "rb").read(),  # multi-mb
+        open(f"{VECTORS_DIR}/alice29.txt.compressed", "rb").read(),
+    ]
+    native = preflight_many(streams)
+    for i, s in enumerate(streams):
+        py = preflight(s)
+        nv = native[i]
+        assert (nv is None) == (py is None), i
+        if py is None:
+            continue
+        assert (nv.mlen, nv.cmd_start_bit, nv.npostfix, nv.ndirect,
+                nv.max_backward) == (py.mlen, py.cmd_start_bit, py.npostfix,
+                                     py.ndirect, py.max_backward), i
+        for a, b in ((nv.lit_table, py.lit_table),
+                     (nv.cmd_table, py.cmd_table),
+                     (nv.dist_table, py.dist_table)):
+            assert np.array_equal(a, b), i
+        assert np.array_equal(nv.dist_extra[:544],
+                              np.asarray(py.dist_extra)[:544]), i
+        assert np.array_equal(nv.dist_offset[:544],
+                              np.asarray(py.dist_offset)[:544]), i
