@@ -189,7 +189,7 @@ def main() -> None:
     def encode_start():
         return DE._encode_start(data3, ENC_CHUNK, 1, 2048,
                                 None, ENC_DEPTH, device_input=dev_in,
-                                lit_ctx=ENC_CTX_TREES > 1)
+                                lit_ctx=ENC_CTX_TREES > 1, hist_stride=16)
 
     def encode_once():
         state = encode_start()
