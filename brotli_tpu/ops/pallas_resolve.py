@@ -77,6 +77,9 @@ STAG_LIMIT = 192          # no-progress rows before declaring skew deadlock
 FIFO_W = 5                # FIFO words per lane (20 B)
 DRAIN_B = 16              # copy bytes drained per row
 EMIT_W = 4                # output words emitted per row
+ROWS_PER_ITER = 1         # rows per while-loop iteration (4x was tried:
+                          # ~4x interpret/test cost for a marginal chip
+                          # gain, same verdict as round-2's unroll note)
 
 # lane error flags (bitmask in the status row)
 ERR_FAR_DIST = 1          # copy distance beyond the ring window
@@ -465,6 +468,13 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             )
             return row + 1, flush_base, r_pop, filled, stag, to_tuple(st)
 
+        def body4(carry):
+            # several rows per while iteration: the exit check and loop
+            # bookkeeping amortize (exit granularity ROWS_PER_ITER rows)
+            for _ in range(ROWS_PER_ITER):
+                carry = body(carry)
+            return carry
+
         def cond(carry):
             row, flush_base, r_pop, filled, stag, st_t = carry
             st = to_dict(st_t)
@@ -472,7 +482,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             return (row < row_budget) & alive
 
         row, flush_base, r_pop, filled, stag, st_t = jax.lax.while_loop(
-            cond, body,
+            cond, body4,
             (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(DT),
              jnp.int32(0), to_tuple(state0)),
         )
