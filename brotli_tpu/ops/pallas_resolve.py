@@ -10,37 +10,52 @@ whole decode path (compressed bits -> decoded bytes) device-resident.
 Architecture (TPU-native; the reference's byte loop engine.ts:1378-1433 is a
 scalar-CPU design with no analog here):
 
-* **History ring + one-hot sweep.**  The last H bytes of every stream live
-  in VMEM as (V=H/4, 8, 128) u32, lane = stream, slot = absolute output
-  word index mod V.  A per-lane read of words w0..w0+2 is a single sweep
-  over the V ring vregs with ONE compare and three selects per vreg (the
-  w0+1/w0+2 compares reuse the previous iterations' results) — the
-  measured-cheapest per-lane gather on this hardware (XLA gather: ~0.07 G
-  elem/s; tpu.dynamic_gather: lane-shared tables only).  Writes are a
-  symmetric scatter sweep.  The sweeps are O(V) per row, so the kernel
-  amortizes them over SIXTEEN bytes per lane per row (round 2 moved four):
-  drain pulls 16 B of an active copy, emission retires up to 4 ring words.
-  (Measured on chip: 4 B -> 287 MB/s, 16 B + H=2048 -> 775 MB/s e2e.)
+* **Per-lane history at per-lane offsets is the whole problem.**  Every
+  lane (stream) reads/writes its own ring positions; the only per-lane
+  dynamic-address primitive that is safe on this hardware is a chained
+  one-hot sweep over ring vregs (XLA gather: ~0.07 G elem/s;
+  tpu.dynamic_gather: lane-shared tables only; per-lane scalar DMA and
+  banded dynamic scratch RMW wedge the chip — CLAUDE.md Mosaic pitfalls).
+  A sweep costs O(#slots) vector ops + VMEM accesses per visit, so the
+  round-4 redesign minimizes SLOTS VISITED PER ROW, not just rows:
+
+  - **One history ring (V slots = H/4)** absorbs emission; its headroom
+    (V - FLUSH rows) is the skew budget.  (A W<V write mini-ring was
+    built and measured first: the smaller headroom deadlocked real
+    batches — slow lanes pinned the flush frontier, fast lanes hit the
+    cap mid-copy with a full token buffer, freezing the shared cursor.
+    A burst read-buffer was prototyped too and dropped: a chained K-word
+    one-hot gather costs O(V*K), so bursts do not amortize the sweep.)
+  - **Recent-emit mini-ring `rec` (REC_W slots, slot = word mod REC_W)**:
+    emission scatters into it alongside the big ring (an O(REC_W) sweep,
+    ~1/16 the cost), and ALL reads in the last REC_W*4 bytes are served
+    from it.  Near distances — the bulk of LZ copies in text — therefore
+    never touch the O(V) sweep.
+  - **Gated, throttled far gather**: reads below `r_lane - REC_W` do one
+    chained KD-word sweep of the big ring into the `fbuf` staging rows —
+    but only on rows where some lane actually needs it, and at most every
+    FAR_EVERY rows (far lanes stall the off rows).  Literal/near-copy
+    rows pay emission only; round 3 paid an O(V) drain gather EVERY row.
 * **Uniform token intake.**  The entropy kernel produced every lane's
   token for shared row r in lockstep, so resolve re-reads that shared row
   axis: POPS_PER_ROW consecutive rows per kernel row from a (DT, 8, 128)
-  sliding VMEM window (scalar-indexed, O(1)) — matching the pull rate
-  (a 1-row intake bounds literal-heavy lanes at half speed).  Each lane
-  parks its token in a K-deep register FIFO until its byte stream reaches
-  it; the shared row cursor advances only when every still-buffering lane
-  has space.
+  sliding VMEM window (scalar-indexed, O(1)).  Each lane parks its token
+  in a K-deep register FIFO until its byte stream reaches it; the shared
+  row cursor advances only when every still-buffering lane has space.
 * **Per-lane progress, ordered byte FIFO.**  Each lane independently pulls
   buffered tokens (literals append to a 20-byte FIFO; copies drain into it
-  at up to 16 B/row from the ring) and emits up to 4 output words per row
-  at its own pace — no global emission barrier, so one lane's token
-  starvation or long copy drain can throttle but never wedge the others.
-  Output blocks flush to HBM as the minimum live lane row passes them; the
-  flush frontier in turn caps how far ahead a lane may run (V - FLUSH
-  rows).
-* **Copies with dist < 16** replicate from bytes appended earlier in the
-  same row / still in the FIFO; longer dists within [.., H-16] read the ring;
+  at up to 16 B/row) and emits up to 4 output words per row at its own
+  pace.  Output blocks flush to HBM as the minimum live lane row passes
+  them; the flush frontier in turn caps how far ahead a lane may run
+  (V - FLUSH rows; the preflight rate-sort keeps batch skew inside it,
+  the stagnation detector flags any batch that escapes).
+* **Copies**: per drained word the source select is FIFO words (regs,
+  bytes not yet emitted; aw >= r_lane) / rec words (r_lane-REC_W <= aw <
+  r_lane) / fbuf far words (older) — all three regions are word-aligned
+  in absolute output byte space, so one funnel shift serves them;
+  dist < DRAIN_B replicates from bytes appended in the same row.
   dist > H-16 flags the lane (host fallback).  The device encoder avoids
-  far distances by construction (max_distance, ops/device_encode.py).
+  far distances by construction (max_distance, device_encode.py).
 
 Output layout: (G, R_out + 8, 8, 128) u32 — group-major so every DMA slice
 is contiguous.  Row R_out holds per-lane error flags, R_out+1 per-lane
@@ -71,7 +86,7 @@ POPS_PER_ROW = 4          # shared token rows consumed per kernel row: must
 FLUSH = 32                # emitted rows per output DMA (must divide V)
 STAG_LIMIT = 192          # no-progress rows before declaring skew deadlock
 
-# byte-width of the per-lane pipeline: the O(V) ring sweeps dominate the
+# byte-width of the per-lane pipeline: ring-sweep slot visits dominate the
 # row cost, so wider rows amortize them (4 B -> 8 B -> 16 B measured on
 # chip; the FIFO must hold one drain burst plus emission slack)
 FIFO_W = 5                # FIFO words per lane (20 B)
@@ -80,6 +95,11 @@ EMIT_W = 4                # output words emitted per row
 ROWS_PER_ITER = 1         # rows per while-loop iteration (4x was tried:
                           # ~4x interpret/test cost for a marginal chip
                           # gain, same verdict as round-2's unroll note)
+REC_W = 32                # recent-emit mini-ring slots (serves distances
+                          # <= ~REC_W*4 B without touching the O(V) sweep)
+FAR_EVERY = 2             # far-gather cadence (rows); lanes whose copy
+                          # source sits below r_lane - REC_W drain only on
+                          # these rows, halving worst-case sweep cost
 
 # lane error flags (bitmask in the status row)
 ERR_FAR_DIST = 1          # copy distance beyond the ring window
@@ -97,9 +117,12 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
     S = (SUB, LANES)
     H = V * 4
     HALF_DT = DT // 2
+    KD = DRAIN_B // 4 + 1     # consecutive source words per drain row
     assert V % FLUSH == 0 and n_out_rows % FLUSH == 0
+    assert REC_W % 8 == 0 and REC_W >= EMIT_W + KD
 
-    def kernel(tok_ref, scal_ref, out_ref, ring, twin, sem_in, sem_out):
+    def kernel(tok_ref, scal_ref, out_ref, ring, rec, fbuf, twin,
+               sem_in, sem_out):
         g = pl.program_id(0)
         zeros_u = jnp.zeros(S, jnp.uint32)
         zeros_i = jnp.zeros(S, jnp.int32)
@@ -116,19 +139,18 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         dma0.start()
         dma0.wait()
 
-        def ring_readk(w0, K):
-            """Per-lane ring words (w0 .. w0+K-1) mod V via one chained
-            one-hot sweep (manually 8x-unrolled fori; Mosaic supports only
-            full/no unroll).  Carries as i32: Mosaic cannot round-trip i1
-            loop carries."""
-            q = jax.lax.rem(w0, V)
+        def ring_gather(ref, n_slots, q, K):
+            """K consecutive words (q .. q+K-1) mod n_slots per lane via one
+            chained one-hot sweep (manually 8x-unrolled fori; Mosaic
+            supports only full/no unroll).  Carries as i32: Mosaic cannot
+            round-trip i1 loop carries."""
 
             def body(i, carry):
                 accs = list(carry[:K])
                 flags = [f > 0 for f in carry[K:]]   # match flags, prev..
                 for k in range(8):
                     v = 8 * i + k
-                    rv = ring[v]
+                    rv = ref[v]
                     m = q == v
                     accs[0] = jnp.where(m, rv, accs[0])
                     for d in range(1, K):
@@ -138,15 +160,25 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
                     f.astype(jnp.int32) for f in flags
                 )
 
+            # carry init derived from q: a replicated-constant init wedges
+            # Mosaic layout inference when the gather sits under pl.when
+            # ("Invalid relayout ... replicated in destination"), because
+            # the back-edge would need a non-replicated -> replicated cast.
+            # q >= 0 so min(q, 0) is a zero Mosaic cannot constant-fold
+            # (q * 0 WAS folded back to a replicated constant).
+            zi = jnp.minimum(q, 0)
+            zu = zi.astype(jnp.uint32)
             out = jax.lax.fori_loop(
-                0, V // 8, body,
-                tuple([zeros_u] * K) + tuple([zeros_i] * (K - 1)),
+                0, n_slots // 8, body,
+                tuple([zu] * K) + tuple([zi] * (K - 1)),
             )
             accs = list(out[:K])
-            # wrap-around tails: word w0+d wraps to ring[(q+d) - V]
+            # wrap-around tails: word q+d wraps to ref[(q+d) - n_slots]
             for d in range(1, K):
                 for w in range(d):
-                    accs[d] = jnp.where(q == V - (d - w), ring[w], accs[d])
+                    accs[d] = jnp.where(
+                        q == n_slots - (d - w), ref[w], accs[d]
+                    )
             return accs
 
         # One ordered byte FIFO per lane (FIFO_W words, oldest byte in
@@ -190,19 +222,15 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             st["cnt"] = st["cnt"] + n
             st["qp"] = st["qp"] + n
 
-        def fifo_byte(st, fi):
-            """Byte `fi` (0..FIFO_W*4-1) of the FIFO."""
-            cap = FIFO_W * 4 - 1
-            fic = jnp.clip(fi, 0, cap)
-            sh = ((fic & 3) * 8).astype(jnp.uint32)
-            w = fic >> 2
-            word = st[FKEYS[FIFO_W - 1]]
-            for t in range(FIFO_W - 2, -1, -1):
-                word = jnp.where(w == t, st[FKEYS[t]], word)
-            return (word >> sh) & jnp.uint32(0xFF)
+        def drain(st, row):
+            """Move up to DRAIN_B bytes of the active copy into the FIFO.
 
-        def drain(st):
-            """Move up to DRAIN_B bytes of the active copy into the FIFO."""
+            Source regions by absolute word index aw (all word-aligned in
+            output byte space, so one funnel shift serves them):
+              aw >= r_lane              FIFO registers (not yet emitted)
+              r_lane-REC_W <= aw < r_lane   rec mini-ring (O(REC_W) sweep)
+              aw < r_lane-REC_W         big ring via the gated far gather
+            """
             st = dict(st)
             can = (
                 (st["cp_rem"] > 0) & (st["cnt"] <= FIFO_W * 4 - DRAIN_B)
@@ -211,36 +239,61 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             far = can & (st["cp_dist"] > H - 16)
             st["err"] = st["err"] | jnp.where(far, ERR_FAR_DIST, 0)
             can = can & ~far
-            e = jnp.where(can, jnp.minimum(st["cp_rem"], DRAIN_B), 0)
 
             src_base = st["qp"] - st["cp_dist"]
             w0 = jnp.maximum(src_base, 0) >> 2
-            K = DRAIN_B // 4 + 1
-            rw = ring_readk(w0, K)
+            need_far = can & (w0 < st["r_lane"] - REC_W)
+            # the O(V) sweep fires only when some lane actually has a far
+            # source, at most every FAR_EVERY rows; far lanes stall the
+            # off rows (near/literal rows pay emission only — round 3
+            # paid this sweep unconditionally every row)
+            fire = jnp.any(need_far) & (jax.lax.rem(row, FAR_EVERY) == 0)
+
+            @pl.when(fire)
+            def _():
+                accs = ring_gather(ring, V, jax.lax.rem(w0, V), KD)
+                for j in range(KD):
+                    fbuf[j] = accs[j]
+
+            can = can & (~need_far | fire)
+            e = jnp.where(can, jnp.minimum(st["cp_rem"], DRAIN_B), 0)
+
+            # --- KD consecutive source words, each from its region ---
+            # (fbuf/racc are positionally aligned: index i = word w0+i)
+            racc = ring_gather(rec, REC_W, jax.lax.rem(w0, REC_W), KD)
+            facc = [zeros_u] * KD
+            fi0 = w0 - st["r_lane"]
+            for t in range(FIFO_W):
+                fv = st[FKEYS[t]]
+                for i in range(KD):
+                    facc[i] = jnp.where(fi0 + i == t, fv, facc[i])
+            rw = []
+            for i in range(KD):
+                aw = w0 + i
+                rw.append(jnp.where(
+                    aw >= st["r_lane"], facc[i],
+                    jnp.where(aw >= st["r_lane"] - REC_W, racc[i], fbuf[i]),
+                ))
+
             fsh = ((src_base & 3) * 8).astype(jnp.uint32)
             hi_sh = (32 - fsh) & 31
             nz = fsh > 0
             fw = [
                 (rw[i] >> fsh)
                 | jnp.where(nz, rw[i + 1] << hi_sh, jnp.uint32(0))
-                for i in range(K - 1)
+                for i in range(KD - 1)
             ]
-            # fifo as a byte source for dist <= cnt (not yet emitted bytes)
-            eb_off = st["cnt"] - st["cp_dist"]   # fifo index of src byte 0
-            adds = [zeros_u] * (K - 1)
+            adds = [zeros_u] * (KD - 1)
             appended = []
             for j in range(DRAIN_B):
-                ring_b = (fw[j >> 2] >> (8 * (j & 3))) & jnp.uint32(0xFF)
-                fi = eb_off + j                  # fifo byte index of source
-                fifo_b = fifo_byte(st, fi)
-                b = jnp.where(fi >= 0, fifo_b, ring_b)
+                b = (fw[j >> 2] >> (8 * (j & 3))) & jnp.uint32(0xFF)
                 # dist < DRAIN_B: source inside this row's appended run
                 for jj in range(j):
                     b = jnp.where((j - st["cp_dist"]) == jj, appended[jj], b)
                 appended.append(b)
                 adds[j >> 2] = adds[j >> 2] | (b << (8 * (j & 3)))
             # per-word byte masks (i32 min/shift: Mosaic has no arith.minui)
-            for a in range(K - 1):
+            for a in range(KD - 1):
                 ea = jnp.clip(e - 4 * a, 0, 4)
                 mask = (jnp.uint32(1) << (ea * 8).astype(jnp.uint32)) - 1
                 mask = jnp.where(ea >= 4, jnp.uint32(0xFFFFFFFF), mask)
@@ -335,11 +388,14 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         def emit(st, flush_base):
             """Per-lane emission of up to EMIT_W output words per row:
             write the FIFO's low words to the lane's own ring rows (one
-            chained scatter sweep) and advance its row counter.
+            chained scatter sweep over V slots) and mirror them into the
+            rec mini-ring (an O(REC_W) sweep) so near-distance drains
+            never pay the O(V) gather.
 
             Per-lane (not lockstep) so no lane's starvation can wedge
             another's progress; the flush frontier caps how far ahead a
-            lane may run (ring slots must stay flushable)."""
+            lane may run (ring slots must stay flushable: V - FLUSH rows
+            of headroom, the skew budget that the W<V mini-ring broke)."""
             st = dict(st)
             P0 = 4 * st["r_lane"]
             done = (st["err"] != 0) | (P0 >= mlen)
@@ -358,12 +414,19 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
                 jnp.where(nw >= k + 1, jax.lax.rem(st["r_lane"] + k, V), -1)
                 for k in range(EMIT_W)
             ]
+            qr = [
+                jnp.where(
+                    nw >= k + 1, jax.lax.rem(st["r_lane"] + k, REC_W), -1
+                )
+                for k in range(EMIT_W)
+            ]
             ws = [st[FKEYS[k]] for k in range(EMIT_W)]
 
-            # full one-hot scatter sweep.  (A banded variant that visited
-            # only the WBAND rows past the flush frontier via dynamic
-            # scalar-indexed ring writes WEDGED the chip — scalar-dynamic
-            # VMEM read-modify-write in a fori body is not hardware-safe.)
+            # full one-hot scatter sweep over the V-slot ring.  (A banded
+            # variant that visited only rows past the flush frontier via
+            # dynamic scalar-indexed ring writes WEDGED THE CHIP — scalar-
+            # dynamic VMEM read-modify-write in a fori body is not
+            # hardware-safe.)
             def wbody(i, _):
                 for k in range(8):
                     v = 8 * i + k
@@ -374,6 +437,12 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
                 return 0
 
             jax.lax.fori_loop(0, V // 8, wbody, 0)
+            # rec mirror: statically unrolled (REC_W slots, ~1/16 of V)
+            for v in range(REC_W):
+                rv = rec[v]
+                for k2 in range(EMIT_W):
+                    rv = jnp.where(qr[k2] == v, ws[k2], rv)
+                rec[v] = rv
             # shift the FIFO down by nw words (reads from the originals)
             orig = [st[k] for k in FKEYS]
             for t in range(FIFO_W):
@@ -417,7 +486,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
 
             filled = jnp.where(do_refill, filled + HALF_DT, filled)
 
-            st = drain(st)
+            st = drain(st, row)
             st, n_popped = pop_uniform2(st, r_pop, filled)
             r_pop = r_pop + n_popped
             for _ in range(PULLS_PER_ROW):
@@ -434,25 +503,25 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             st["err"] = st["err"] | jnp.where(dry, ERR_STARVED, 0)
 
             # ---- flush: one FLUSH-aligned block per row once every live
-            # lane has emitted past it (done/err lanes do not hold it up) --
+            # lane has emitted past it (done/err lanes do not hold it up);
+            # the ring IS the reorder buffer, so the DMA reads it directly --
             live = (st["err"] == 0) & (4 * st["r_lane"] < mlen)
             min_r = jnp.min(
                 jnp.where(live, st["r_lane"], jnp.int32(1 << 30))
             )
+            do_flush = flush_base + FLUSH <= min_r
 
-            @pl.when(flush_base + FLUSH <= min_r)
+            @pl.when(do_flush)
             def _():
-                dma = pltpu.make_async_copy(
+                dma_o = pltpu.make_async_copy(
                     ring.at[pl.ds(jax.lax.rem(flush_base, V), FLUSH)],
                     out_ref.at[pl.ds(out0 + flush_base, FLUSH)],
                     sem_out,
                 )
-                dma.start()
-                dma.wait()
+                dma_o.start()
+                dma_o.wait()
 
-            flush_base = jnp.where(
-                flush_base + FLUSH <= min_r, flush_base + FLUSH, flush_base
-            )
+            flush_base = jnp.where(do_flush, flush_base + FLUSH, flush_base)
 
             # global-stagnation detector: if neither the token cursor nor
             # ANY lane's emission advanced for STAG_LIMIT rows, the batch
@@ -494,7 +563,8 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
         short = (st["err"] == 0) & (4 * st["r_lane"] < mlen)
         st["err"] = st["err"] | jnp.where(short, ERR_STARVED, 0)
 
-        # ---- flush every remaining block (err/done lanes' tails) ----
+        # ---- flush every remaining block (err/done lanes' tails; all
+        # un-flushed emitted rows live within the ring by the room cap) ----
         n_left = (n_out_rows - flush_base) // FLUSH
 
         def fbody(i, fb):
@@ -509,7 +579,7 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
 
         flush_base = jax.lax.fori_loop(0, n_left, fbody, flush_base)
 
-        # ---- status tail ----
+        # ---- status tail (ring rows 0..7 are already flushed) ----
         ring[0] = st["err"].astype(jnp.uint32)
         ring[1] = st["r_lane"].astype(jnp.uint32)
         ring[2] = jnp.zeros(S, jnp.uint32) + r_pop.astype(jnp.uint32)
@@ -538,8 +608,10 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((V, SUB, LANES), jnp.uint32),    # history ring
-                pltpu.VMEM((DT, SUB, LANES), jnp.uint32),   # token window
+                pltpu.VMEM((V, SUB, LANES), jnp.uint32),     # history ring
+                pltpu.VMEM((REC_W, SUB, LANES), jnp.uint32),  # recent emits
+                pltpu.VMEM((KD, SUB, LANES), jnp.uint32),    # far-gather stage
+                pltpu.VMEM((DT, SUB, LANES), jnp.uint32),    # token window
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
@@ -554,9 +626,10 @@ def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
 def get_resolve_kernel(R_tok: int, n_out_rows: int, V: int = DEFAULT_H // 4,
                        DT: int = DEFAULT_DT, groups: int = 1,
                        row_budget: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, W: int | None = None):
     import jax
 
+    del W  # accepted for caller compat; the single-ring design has no W
     if row_budget is None:
         # Hang-guard only — the while_loop exits as soon as every lane is
         # done, so a generous budget costs nothing in the good case.  It
@@ -577,7 +650,8 @@ def _round_up(x: int, m: int) -> int:
 
 def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
                           DT: int | None = None, interpret: bool = False,
-                          row_budget: int | None = None):
+                          row_budget: int | None = None,
+                          W: int | None = None):
     """Resolve (R, G*8, 128) u32 entropy tokens to bytes on device.
 
     `mlens` has G*1024 entries (decoded size per stream, 0 for pad lanes).
@@ -612,7 +686,7 @@ def resolve_tokens_device(tokens, mlens, *, H: int = DEFAULT_H,
     ).reshape(G * R, SUB, LANES)
     scal = mlens.astype(np.int32).reshape(G * SUB, LANES)
     kernel = get_resolve_kernel(
-        R, n_out_rows, V, DT, G, row_budget, interpret
+        R, n_out_rows, V, DT, G, row_budget, interpret, W
     )
     out = kernel(tokens_g, _jnp.asarray(scal))
     # free reshape back to the group-major 4-D view callers index
