@@ -665,6 +665,9 @@ class SharedBatch:
     # perm[slot] = original stream index of lane slot (-1 = pad); identity
     # when no reordering happened
     perm: np.ndarray | None = None
+    # per-slot count of real (non-padding) words in wt; lanes that consume
+    # past this ran off the end of their own stream (see lane_overran)
+    n_words: np.ndarray | None = None
 
 
 def preflight_shared(streams: list[bytes], D: int = 64,
@@ -714,12 +717,14 @@ def preflight_shared(streams: list[bytes], D: int = 64,
     rebased = []
     start_bits = np.zeros(NT, dtype=np.int32)
     mlens = np.zeros(NT, dtype=np.int64)
+    n_words = np.zeros(NT, dtype=np.int32)
     for slot, i in enumerate(order):
         p = pres[i]
         w0 = p.cmd_start_bit >> 5
         rebased.append(p.words[w0:])
         start_bits[slot] = p.cmd_start_bit & 31
         mlens[slot] = p.mlen
+        n_words[slot] = p.words.shape[0] - w0
     max_words = max(r.shape[0] for r in rebased)
     Wpad = _round_up(max_words, D) + D
     wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
@@ -767,6 +772,7 @@ def preflight_shared(streams: list[bytes], D: int = 64,
         maxbw=p0.max_backward,
         Wpad=Wpad,
         perm=perm if rate_sort else None,
+        n_words=n_words,
     )
 
 
@@ -812,6 +818,7 @@ def preflight_binned(streams: list[bytes],
     G = n_groups
     rebased, start_bits, mlens = [], np.zeros(G * NSTREAM, np.int32), \
         np.zeros(G * NSTREAM, np.int64)
+    n_words = np.zeros(G * NSTREAM, np.int32)
     perm = np.full(G * NSTREAM, -1, np.int64)
     group_tabs = []
     slot_base = 0
@@ -830,6 +837,7 @@ def preflight_binned(streams: list[bytes],
                 rebased.append((slot, p.words[w0:]))
                 start_bits[slot] = p.cmd_start_bit & 31
                 mlens[slot] = p.mlen
+                n_words[slot] = p.words.shape[0] - w0
                 perm[slot] = i
             slot_base += NSTREAM
 
@@ -874,7 +882,7 @@ def preflight_binned(streams: list[bytes],
         consts=_build_consts(), scal=scal, mlens=mlens,
         n_streams=len(streams),
         npostfix=p0.npostfix, ndirect=p0.ndirect, maxbw=p0.max_backward,
-        Wpad=Wpad, perm=perm,
+        Wpad=Wpad, perm=perm, n_words=n_words,
     )
     return batch, perm
 
@@ -923,8 +931,10 @@ def plan_blocks(batch: SharedBatch, block_rows: int = DEFAULT_BLOCK_ROWS,
 
 def run_batch(batch: SharedBatch, D: int = DEFAULT_D,
               block_rows: int = DEFAULT_BLOCK_ROWS,
-              n_blocks: int | None = None, interpret: bool = False):
-    """Run the v2 kernel; returns (tokens (R,8,128) u32, phases (8,128))."""
+              n_blocks: int | None = None, interpret: bool = False,
+              with_widx: bool = False):
+    """Run the v2 kernel; returns (tokens (R,8,128) u32, phases (8,128))
+    and, with `with_widx`, the per-lane consumed-word status row too."""
     import jax.numpy as jnp
 
     if n_blocks is None:
@@ -944,7 +954,31 @@ def run_batch(batch: SharedBatch, D: int = DEFAULT_D,
     out = np.asarray(out)
     tokens = out[: n_blocks * block_rows]
     phases = out[n_blocks * block_rows]
+    if with_widx:
+        return tokens, phases, out[n_blocks * block_rows + 1]
     return tokens, phases
+
+
+# a live lane's 64-bit lookahead may pull a few padding words past its
+# final content bits before the last command completes
+WIDX_SLACK = 4
+
+
+def lane_overran(batch: SharedBatch, widx) -> np.ndarray:
+    """Per-slot bool: lane pulled words beyond its own stream (+slack).
+
+    The batch word table is zero-padded to Wpad, so a TRUNCATED stream does
+    not stop the kernel: zero bits keep decoding as valid-looking symbols
+    and the lane can reach DONE with garbage bytes.  The reference errors
+    with unexpected-EOF when the bitreader runs dry (engine.ts:2136-2144);
+    the device analog is this host-side check of the status widx row
+    against the lane's real word count — overrun lanes go to host decode,
+    which raises the proper BrotliError.
+    """
+    if batch.n_words is None:
+        return np.zeros(NSTREAM * batch.groups, dtype=bool)
+    widx = np.asarray(widx).reshape(-1).astype(np.int64)
+    return widx > batch.n_words.astype(np.int64) + WIDX_SLACK
 
 
 def resolve_tokens_py(tokens: np.ndarray, sub: int, lane: int, out_len: int) -> bytes:
@@ -1017,8 +1051,10 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
         # per-lane-table device variant (ops/device_decode.py) or the host
         # decoder (native C++ first) cover the long tail
         return [host_decode(s) for s in streams]
-    tokens, phases = run_batch(batch, D=D, interpret=interpret)
+    tokens, phases, widx = run_batch(batch, D=D, interpret=interpret,
+                                     with_widx=True)
     flat_phases = phases.reshape(-1)
+    overran = lane_overran(batch, widx)
     expected = np.zeros(NSTREAM * batch.groups, dtype=np.int64)
     if perm is None:
         expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
@@ -1032,7 +1068,8 @@ def decode_batch_pallas2(streams: list[bytes], n_threads: int = 8,
         i = slot if perm is None else int(perm[slot])
         if i < 0 or i >= batch.n_streams:
             continue
-        if flat_phases[slot] != DONE or lens[slot] != batch.mlens[slot]:
+        if (flat_phases[slot] != DONE or overran[slot]
+                or lens[slot] != batch.mlens[slot]):
             n_fallback += 1
             results[i] = host_decode(streams[i])
         else:
@@ -1094,6 +1131,10 @@ def run_batch_e2e(batch: SharedBatch, *, H: int | None = None,
         used_token_rows(out, n_blocks, block_rows)
     tokens = out[:r_cap]                     # device slice
     phases = np.asarray(out[rows]).reshape(-1)   # tiny host fetch
+    # truncated-stream guard: overrun lanes decoded zero padding — force
+    # them off the fast path regardless of the phase they reached
+    phases = np.where(lane_overran(batch, out[rows + 1]),
+                      np.uint32(0xFFFF), phases)
     resolved, n_out_rows = resolve_tokens_device(
         tokens, batch.mlens, H=H or DEFAULT_H, interpret=interpret,
         row_budget=row_budget,

@@ -61,9 +61,15 @@ def test_decoded_size_empty_stream():
 
 def test_decoded_size_single_metablock():
     data = (VEC / "alice29.txt.compressed").read_bytes()
-    n = decoded_size(data)
-    if n >= 0:
-        assert n == len((VEC / "alice29.txt").read_bytes())
+    # alice29.compressed is a single ISLAST metablock: the peek MUST
+    # resolve (the old `if n >= 0` guard made this test vacuous).
+    assert decoded_size(data) == len((VEC / "alice29.txt").read_bytes())
+    # own encoder output (single metablock) must peek too
+    from brotli_tpu import encode as _enc
+    payload = b"peekable" * 200
+    assert decoded_size(_enc(payload, quality=5)) == len(payload)
+    # a stream too short to hold the header yields -1, never raises
+    assert decoded_size(data[:1]) == -1
 
 
 def test_max_output_size_enforced():

@@ -113,6 +113,64 @@ def test_interleaved_groups():
     assert b"".join(got) == data
 
 
+def test_truncated_lane_flags_not_garbage():
+    """A mid-body truncated stream must be forced off the fast path.
+
+    The batch word table is zero-padded, so the kernel happily decodes
+    zeros past a truncated lane's real content (reference analog: the
+    bitreader raises unexpected-EOF, engine.ts:2136-2144).  The widx
+    overrun check must flag exactly that lane; intact lanes stay
+    bit-exact.
+    """
+    from brotli_tpu.ops.pallas_decode2 import lane_overran
+
+    data = ALICE[:8192]
+    streams = list(encode_sharded(data, chunk_size=1024))
+    streams[3] = streams[3][: len(streams[3]) // 2]
+    batch = preflight_shared(streams)
+    assert batch is not None  # header still parses; only the body is cut
+    tokens, phases, widx = run_batch(batch, interpret=True, with_widx=True)
+    overran = lane_overran(batch, widx)
+    assert overran[3]
+    good = [i for i in range(8) if i != 3]
+    assert not overran[good].any()
+    for i in good:
+        got = resolve_tokens_py(tokens, i // 128, i % 128, int(batch.mlens[i]))
+        assert got == data[i * 1024 : (i + 1) * 1024]
+
+
+def test_truncated_lane_library_path_raises():
+    # the batch e2e entry must surface the truncation as BrotliError from
+    # the per-lane host fallback — never hang, never return padded garbage
+    from brotli_tpu import BrotliError
+    from brotli_tpu.ops.pallas_decode2 import decode_batch_device_e2e
+
+    data = ALICE[:4096]
+    streams = list(encode_sharded(data, chunk_size=1024))
+    streams[1] = streams[1][: len(streams[1]) // 2]
+    with pytest.raises(BrotliError):
+        decode_batch_device_e2e(streams, interpret=True)
+
+
+def test_bitflip_lane_isolated():
+    """Poisoned body bits in one lane never corrupt its neighbours, and
+    the kernel always terminates (row budget) — the lane itself either
+    flags, overruns, or mis-decodes (brotli has no integrity check; the
+    reference mis-decodes too)."""
+    data = ALICE[:8192]
+    streams = list(encode_sharded(data, chunk_size=1024))
+    bad = bytearray(streams[5])
+    for off in range(len(bad) // 2, len(bad) // 2 + 16):
+        bad[off] ^= 0xA5
+    streams[5] = bytes(bad)
+    batch = preflight_shared(streams)
+    assert batch is not None
+    tokens, phases, widx = run_batch(batch, interpret=True, with_widx=True)
+    for i in (0, 1, 2, 3, 4, 6, 7):
+        got = resolve_tokens_py(tokens, i // 128, i % 128, int(batch.mlens[i]))
+        assert got == data[i * 1024 : (i + 1) * 1024]
+
+
 def test_binned_mixed_table_batches():
     """Streams from two different shared-table encodes decode on the v2
     fast path via per-group table binning (VERDICT round-1 item 4)."""
