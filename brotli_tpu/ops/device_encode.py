@@ -1119,6 +1119,7 @@ def encode_device_batch(
     chain_depth: int = 2,
     table_groups: int = 1,
     lit_ctx_trees: int = 1,
+    hist_stride: int = _HIST_STRIDE_DEFAULT,
 ) -> list[bytes]:
     """Encode `data` on the TPU as B<=1024 chunk streams.
 
@@ -1136,7 +1137,8 @@ def encode_device_batch(
         return [_encode_empty()]
     state = _encode_start(data, chunk_size, hash_stride, sample_stride,
                           max_distance, chain_depth,
-                          lit_ctx=lit_ctx_trees > 1)
+                          lit_ctx=lit_ctx_trees > 1,
+                          hist_stride=hist_stride)
     _encode_mid(state, lgwin, interpret, table_groups, lit_ctx_trees)
     return _encode_finish(state)
 

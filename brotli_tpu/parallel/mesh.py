@@ -99,37 +99,46 @@ def decode_batches_multichip(
     interpret: bool = False,
     n_threads: int = 8,
     group_size: int | None = None,
+    H: int | None = None,
 ) -> list[bytes]:
     """Decode many shared-table streams across all mesh devices.
 
     The format's scale-out unit is the independent stream (SURVEY.md
     section 2.3), so multi-chip decode is pure data parallelism: streams are
     grouped into 1024-lane shared-table batches, batches round-robin over
-    the mesh devices, and each device runs its own v2 lockstep kernel
-    concurrently (async dispatch; no cross-chip collectives are needed —
-    ordered reassembly is by batch index).  Host fallback covers
+    the mesh devices, and each device runs the SAME fully-device-resident
+    pipeline the single-chip bench times — lockstep entropy kernel + LZ
+    resolve kernel (VERDICT r3 #5: no host resolver on this path).
+    Dispatch is overlapped: every device's entropy kernel is launched
+    before any resolve is, then resolves launch as each entropy status
+    row lands (a tiny fetch).  No cross-chip collectives are needed —
+    ordered reassembly is by batch index.  Host fallback covers
     device-ineligible or error lanes, exactly like the single-chip path.
     """
     import jax
     import jax.numpy as jnp
 
     from ..decode import decode as host_decode
-    from ..native import lz_resolve_batch_v2
     from ..ops import pallas_decode2 as P2
+    from ..ops.pallas_resolve import (
+        DEFAULT_H, FLUSH, get_resolve_kernel, unpack_resolved,
+    )
 
     if mesh is None:
         mesh = get_mesh()
     devices = list(mesh.devices.reshape(-1))
+    H = H or DEFAULT_H
 
     NS = P2.NSTREAM
     gs = min(group_size or NS, NS)
     groups = [streams[i : i + gs] for i in range(0, len(streams), gs)]
     results: list[bytes | None] = [None] * len(streams)
 
-    # preflight all groups first (host-side), then dispatch device work
-    pending = []  # (group_idx, batch, n_blocks, device, args)
+    # phase 1: preflight every group (host), dispatch its entropy kernel on
+    # its round-robin device (async)
+    pending = []  # (group_idx, batch, n_blocks, device, entropy out)
     for gi, group in enumerate(groups):
-        batch = P2.preflight_shared(group)
+        batch = P2.preflight_shared(group, rate_sort=True)
         if batch is None:
             base = gi * gs
             sub = P2.decode_batch_pallas2(group, n_threads=n_threads,
@@ -151,26 +160,45 @@ def decode_batches_multichip(
                       batch.dx_t, batch.consts, batch.scal)
         ]
         out = kernel(*args)  # async dispatch per device
-        pending.append((gi, batch, n_blocks, out))
+        pending.append((gi, batch, n_blocks, dev, out))
 
     import numpy as np
 
-    for gi, batch, n_blocks, out in pending:
-        out_np = np.asarray(out)
+    # phase 2: per group, read the entropy status tail (syncs only that
+    # device) and dispatch the resolve kernel on the same device
+    resolving = []  # (group_idx, batch, phases, resolved, n_out_rows)
+    for gi, batch, n_blocks, dev, out in pending:
         rows = n_blocks * P2.DEFAULT_BLOCK_ROWS
-        tokens = out_np[:rows]
-        phases = out_np[rows].reshape(-1)
-        expected = np.zeros(NS, dtype=np.int64)
-        expected[: batch.n_streams] = batch.mlens[: batch.n_streams]
-        resolved, lens = lz_resolve_batch_v2(
-            tokens.reshape(rows, -1), expected, n_threads
+        r_cap = P2.used_token_rows(out, n_blocks)
+        phases = np.asarray(out[rows]).reshape(-1)
+        phases = np.where(P2.lane_overran(batch, out[rows + 1]),
+                          np.uint32(0xFFFF), phases)
+        n_out_rows = max(FLUSH,
+                         -(-int(batch.mlens.max()) // 4 // FLUSH) * FLUSH)
+        rkernel = get_resolve_kernel(r_cap, n_out_rows, H // 4,
+                                     groups=1, interpret=interpret)
+        scal = jax.device_put(
+            jnp.asarray(batch.mlens.astype(np.int32).reshape(8, 128)), dev
         )
+        resolved = rkernel(out[:r_cap], scal)  # async dispatch
+        resolving.append((gi, batch, phases, resolved, n_out_rows))
+
+    # phase 3: ordered fetch + unpack + per-lane fallback
+    for gi, batch, phases, resolved, n_out_rows in resolving:
+        res4 = np.asarray(resolved).reshape(1, n_out_rows + 8, 8, 128)
+        outs, errs = unpack_resolved(res4, n_out_rows, batch.mlens)
         base = gi * gs
-        for k in range(batch.n_streams):
-            if phases[k] != P2.DONE or lens[k] != batch.mlens[k]:
+        n_fallback = 0
+        for slot in range(NS):
+            k = slot if batch.perm is None else int(batch.perm[slot])
+            if k < 0 or k >= batch.n_streams:
+                continue
+            if phases[slot] != P2.DONE or errs[slot] != 0:
+                n_fallback += 1
                 results[base + k] = host_decode(groups[gi][k])
             else:
-                results[base + k] = bytes(resolved[k, : lens[k]])
+                results[base + k] = outs[slot]
+        P2._note_fallbacks(batch.n_streams, n_fallback)
     return results  # type: ignore[return-value]
 
 
@@ -181,6 +209,11 @@ def encode_batches_multichip(
     chunk_size: int = 32768,
     hash_stride: int = 1,
     interpret: bool = False,
+    max_distance: int | None = None,
+    chain_depth: int = 2,
+    table_groups: int = 1,
+    lit_ctx_trees: int = 1,
+    hist_stride: int | None = None,
 ) -> list[bytes]:
     """Encode large inputs across mesh devices, one 32 MB batch per device.
 
@@ -190,11 +223,17 @@ def encode_batches_multichip(
     result is fetched, (2) host table build + pack-kernel dispatch per
     device, (3) fetch + stream assembly — so all devices compute their
     heavy stages concurrently instead of round-robin serially.
+
+    The quality knobs (chain_depth, table_groups, lit_ctx_trees,
+    hist_stride, max_distance) are the single-chip encode_device_batch
+    knobs, passed through verbatim so the multichip path produces the
+    same bytes as the bench configuration (VERDICT r3 #5).
     """
     import jax
 
     from ..ops.device_encode import (
         B_LANES,
+        _HIST_STRIDE_DEFAULT,
         _encode_finish,
         _encode_mid,
         _encode_start,
@@ -211,18 +250,24 @@ def encode_batches_multichip(
         bytes(data[off : off + batch_bytes])
         for off in range(0, len(data), batch_bytes)
     ]
+    if hist_stride is None:
+        hist_stride = _HIST_STRIDE_DEFAULT
 
     # phase 1: dispatch the XLA stages on every device (async)
     states = []
     for bi, piece in enumerate(pieces):
         dev = devices[bi % len(devices)]
         with jax.default_device(dev):
-            states.append((dev, _encode_start(piece, chunk_size, hash_stride, 256)))
+            states.append((dev, _encode_start(
+                piece, chunk_size, hash_stride, 256,
+                max_distance, chain_depth,
+                lit_ctx=lit_ctx_trees > 1, hist_stride=hist_stride,
+            )))
     # phase 2: host tables + pack dispatch (fetches each device's sample,
     # which only waits on that device; pack kernels again run concurrently)
     for dev, state in states:
         with jax.default_device(dev):
-            _encode_mid(state, 22, interpret)
+            _encode_mid(state, 22, interpret, table_groups, lit_ctx_trees)
     # phase 3: ordered fetch + assembly
     out: list[bytes] = []
     for dev, state in states:

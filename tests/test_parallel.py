@@ -87,6 +87,24 @@ def test_multichip_v2_mixed_fallback():
     assert got[1] == bytes(900)
 
 
+def test_multichip_decode_is_device_resident(monkeypatch):
+    """The multichip decode path must run BOTH kernels on device — the
+    host C++ LZ resolver must never be touched (VERDICT r3 #5)."""
+    import brotli_tpu.native as native
+    from brotli_tpu.encode.sharded import encode_sharded
+    from brotli_tpu.parallel.mesh import decode_batches_multichip, get_mesh
+
+    def _boom(*a, **k):  # pragma: no cover - tripwire
+        raise AssertionError("host LZ resolver used on the flagship path")
+
+    monkeypatch.setattr(native, "lz_resolve_batch_v2", _boom)
+    data = ALICE[:16384]
+    streams = encode_sharded(data, chunk_size=1024, max_distance=2048 - 16)
+    got = decode_batches_multichip(streams, get_mesh(4), interpret=True,
+                                   group_size=4)
+    assert b"".join(got) == data
+
+
 def test_multichip_encode_batches():
     from brotli_tpu.decode import decode
     from brotli_tpu.parallel.mesh import encode_batches_multichip, get_mesh
@@ -98,3 +116,25 @@ def test_multichip_encode_batches():
     )
     assert len(streams) == 1600
     assert b"".join(decode(s) for s in streams) == data
+
+
+def test_multichip_encode_matches_single_chip_config():
+    """Bench-config knobs (chain_depth, context trees, table groups,
+    hist_stride) pass through the multichip encode verbatim: per-batch
+    output bytes equal the single-chip encode of the same piece."""
+    from brotli_tpu.ops.device_encode import encode_device_batch
+    from brotli_tpu.parallel.mesh import encode_batches_multichip, get_mesh
+
+    data = (ALICE * 12)[: 1300 * 1024]  # 2 pieces at 1024 lanes x 1 KB
+    cfg = dict(chunk_size=1024, max_distance=2048 - 16, chain_depth=3,
+               table_groups=2, lit_ctx_trees=2, hist_stride=16)
+    multi = encode_batches_multichip(data, get_mesh(2), interpret=True,
+                                     **cfg)
+    single = []
+    for off in range(0, len(data), 1024 * 1024):
+        single.extend(
+            encode_device_batch(data[off : off + 1024 * 1024],
+                                interpret=True, **cfg)
+        )
+    assert len(multi) == len(single)
+    assert multi == single
