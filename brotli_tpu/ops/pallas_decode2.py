@@ -670,6 +670,60 @@ class SharedBatch:
     n_words: np.ndarray | None = None
 
 
+def _parse_dedup(streams: list[bytes], max_sigs: int = 8):
+    """Parse stream prologues with header dedup.
+
+    encode_sharded batches share BYTE-IDENTICAL headers across equal-size
+    chunks (same tables, same MLEN, same start bit), so one real parse plus
+    a prefix memcmp covers the other 1023 lanes — this was the preflight
+    wall (native parse 27 ms + table compares 16 ms per 1024-stream group,
+    VERDICT r3 #2).  A signature is the header's full bytes plus the
+    masked bits of its final partial byte; identical prefix bits imply an
+    identical parse (the parse is a deterministic function of the prefix).
+    Streams matching no signature after `max_sigs` distinct headers fall
+    back to the native batch parser.
+
+    Returns a list of PreflightResult where clones SHARE the parse's table
+    arrays (identity, no copies) but carry no words — staging reads the
+    stream bytes directly; or None if any stream is device-ineligible.
+    """
+    from .device_decode import preflight, preflight_many
+
+    sigs = []  # (n_full_bytes, last_mask, prefix, masked_last, result)
+    pres: list = [None] * len(streams)
+    hard: list[int] = []
+    for i, s in enumerate(streams):
+        matched = False
+        for nf, mask, pref, lastb, res in sigs:
+            if len(s) > nf and s[:nf] == pref and (
+                not mask or (s[nf] & mask) == lastb
+            ):
+                pres[i] = res
+                matched = True
+                break
+        if matched:
+            continue
+        if len(sigs) < max_sigs:
+            r = preflight(s)
+            if r is None:
+                return None
+            nbits = r.cmd_start_bit
+            nf, rem = nbits >> 3, nbits & 7
+            mask = (1 << rem) - 1
+            lastb = (s[nf] & mask) if rem and len(s) > nf else 0
+            sigs.append((nf, mask, bytes(s[:nf]), lastb, r))
+            pres[i] = r
+        else:
+            hard.append(i)
+    if hard:
+        sub = preflight_many([streams[i] for i in hard])
+        if any(p is None for p in sub):
+            return None
+        for i, p in zip(hard, sub):
+            pres[i] = p
+    return pres
+
+
 def preflight_shared(streams: list[bytes], D: int = 64,
                      groups: int = 1,
                      rate_sort: bool = False) -> SharedBatch | None:
@@ -684,15 +738,15 @@ def preflight_shared(streams: list[bytes], D: int = 64,
     keeps per-group skew well inside the bound.  Results map back through
     batch.perm.
     """
-    from .device_decode import preflight_many
-
     if not streams or len(streams) > NSTREAM * groups:
         return None
-    pres = preflight_many(streams)
-    if any(p is None for p in pres):
+    pres = _parse_dedup(streams)
+    if pres is None:
         return None
     p0 = pres[0]
     for p in pres[1:]:
+        if p is p0:  # dedup clone: identical by construction
+            continue
         if (
             p.npostfix != p0.npostfix
             or p.ndirect != p0.ndirect
@@ -714,23 +768,30 @@ def preflight_shared(streams: list[bytes], D: int = 64,
         order.sort(key=lambda i: rate[i])
     perm = np.full(NT, -1, dtype=np.int64)
     perm[: len(pres)] = order
-    rebased = []
     start_bits = np.zeros(NT, dtype=np.int32)
     mlens = np.zeros(NT, dtype=np.int64)
     n_words = np.zeros(NT, dtype=np.int32)
     for slot, i in enumerate(order):
         p = pres[i]
         w0 = p.cmd_start_bit >> 5
-        rebased.append(p.words[w0:])
         start_bits[slot] = p.cmd_start_bit & 31
         mlens[slot] = p.mlen
-        n_words[slot] = p.words.shape[0] - w0
-    max_words = max(r.shape[0] for r in rebased)
+        # matches the padded-frombuffer word count: ceil(len/4) + 3 tail
+        n_words[slot] = -(-len(streams[i]) // 4) + 3 - w0
+    max_words = int(n_words.max())
     Wpad = _round_up(max_words, D) + D
-    wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
-    for i, r in enumerate(rebased):
-        g, rem = divmod(i, NSTREAM)
-        wt[: r.shape[0], g * SUB + rem // LANES, rem % LANES] = r
+    # stage bodies slot-major (contiguous memcpy per lane), then one bulk
+    # transpose into the kernel's word-major (Wpad, G*8, 128) layout —
+    # measured 3-4x cheaper than 1024 strided scatters on the 1-core host
+    buf = np.zeros((NT, Wpad * 4), dtype=np.uint8)
+    for slot, i in enumerate(order):
+        s = streams[i]
+        w0 = pres[i].cmd_start_bit >> 5
+        body = np.frombuffer(s, np.uint8)[4 * w0:]
+        buf[slot, : body.shape[0]] = body
+    wt = np.ascontiguousarray(
+        buf.view("<u4").reshape(G, SUB, LANES, Wpad).transpose(3, 0, 1, 2)
+    ).reshape(Wpad, G * SUB, LANES)
 
     dx = (np.asarray(p0.dist_extra, np.int32) << 26) | np.asarray(
         p0.dist_offset, np.int32
@@ -798,17 +859,21 @@ def preflight_binned(streams: list[bytes],
         max_groups = MAX_GROUPS
     if not streams:
         return None
-    pres = preflight_many(streams)
-    if any(p is None for p in pres):
+    pres = _parse_dedup(streams, max_sigs=16)
+    if pres is None:
         return None
     p0 = pres[0]
     bins: dict[bytes, list[int]] = {}
+    sig_cache: dict[int, bytes] = {}  # id(parse) -> table signature
     for i, p in enumerate(pres):
         if (p.npostfix != p0.npostfix or p.ndirect != p0.ndirect
                 or p.max_backward != p0.max_backward):
             return None
-        sig = (p.lit_table.tobytes() + p.cmd_table.tobytes()
-               + p.dist_table.tobytes())
+        sig = sig_cache.get(id(p))
+        if sig is None:
+            sig = (p.lit_table.tobytes() + p.cmd_table.tobytes()
+                   + p.dist_table.tobytes())
+            sig_cache[id(p)] = sig
         bins.setdefault(sig, []).append(i)
     # each bin becomes ceil(len/1024) groups
     n_groups = sum(-(-len(v) // NSTREAM) for v in bins.values())
@@ -834,19 +899,25 @@ def preflight_binned(streams: list[bytes],
                 p = pres[i]
                 slot = slot_base + j
                 w0 = p.cmd_start_bit >> 5
-                rebased.append((slot, p.words[w0:]))
+                rebased.append((slot, i, w0))
                 start_bits[slot] = p.cmd_start_bit & 31
                 mlens[slot] = p.mlen
-                n_words[slot] = p.words.shape[0] - w0
+                n_words[slot] = -(-len(streams[i]) // 4) + 3 - w0
                 perm[slot] = i
             slot_base += NSTREAM
 
-    max_words = max(r.shape[0] for _, r in rebased)
+    max_words = int(n_words.max())
     Wpad = _round_up(max_words, D) + D
-    wt = np.zeros((Wpad, G * SUB, LANES), dtype=np.uint32)
-    for slot, r in rebased:
-        g, rem = divmod(slot, NSTREAM)
-        wt[: r.shape[0], g * SUB + rem // LANES, rem % LANES] = r
+    # slot-major byte staging + one bulk transpose (see preflight_shared);
+    # clones from _parse_dedup share table arrays but each lane's body is
+    # read straight from its own stream bytes
+    buf = np.zeros((G * NSTREAM, Wpad * 4), dtype=np.uint8)
+    for slot, i, w0 in rebased:
+        body = np.frombuffer(streams[i], np.uint8)[4 * w0:]
+        buf[slot, : body.shape[0]] = body
+    wt = np.ascontiguousarray(
+        buf.view("<u4").reshape(G, SUB, LANES, Wpad).transpose(3, 0, 1, 2)
+    ).reshape(Wpad, G * SUB, LANES)
 
     def used_k(table, cap):
         n = len(table)
