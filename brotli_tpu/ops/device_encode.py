@@ -572,22 +572,27 @@ def _tab_chunks(nt: int) -> int:
 
 @_functools.lru_cache(maxsize=16)
 def _jitted_stages(hash_stride: int, max_distance: int | None = None,
-                   chain_depth: int = 2, lit_ctx: bool = False):
+                   chain_depth: int = 2, lit_ctx: bool = False,
+                   nbt: int = 1, pseg: int = 2048):
     import jax
 
     return jax.jit(
         _functools.partial(_device_stages, hash_stride=hash_stride,
                            max_distance=max_distance,
-                           chain_depth=chain_depth, lit_ctx=lit_ctx)
+                           chain_depth=chain_depth, lit_ctx=lit_ctx,
+                           nbt=nbt, pseg=pseg)
     )
 
 
 @_functools.lru_cache(maxsize=16)
 def _jitted_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
-                 nt: int = 1):
+                 nt: int = 1, nbt: int = 1, pseg: int = 2048,
+                 nseg: int = 1):
     import jax
 
-    return jax.jit(_build_pack(n_blocks, interpret, n_groups, nt))
+    return jax.jit(
+        _build_pack(n_blocks, interpret, n_groups, nt, nbt, pseg, nseg)
+    )
 
 
 @_functools.lru_cache(maxsize=16)
@@ -635,7 +640,7 @@ def _jitted_assemble(maxH: int, n_distinct: int):
 
 
 def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
-                nt: int = 1):
+                nt: int = 1, nbt: int = 1, pseg: int = 2048, nseg: int = 1):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -646,6 +651,7 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
     TABK = _tab_chunks(nt)
     CMD_TAB_OFF = nt * 256
     DIST_TAB_OFF = nt * 256 + 704
+    NBC = -(-(nbt * 64) // 128) if nbt > 1 else 1  # cmap chunks per group
 
     def lookup(tab_ref, k, idx):
         lo = idx & 127
@@ -657,12 +663,17 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
         return acc
 
     def kernel(rec0_ref, rec1_ref, tab_ref, cmap_ref, consts_ref, grp_ref,
-               init0_ref, initav_ref,
-               keys_ref, words_ref, status_ref, state):
+               init0_ref, initav_ref, *rest):
+        if nbt > 1:
+            sw_ref, stype_ref = rest[0], rest[1]
+            rest = rest[2:]
+        keys_ref, words_ref, status_ref, state = rest
         i = pl.program_id(0)
         # per-lane table-group base: group g's combined symbol table starts
-        # at flat index g*TABK*128 (table clustering, mixed batches)
-        grp = grp_ref[:]
+        # at flat index g*TABK*128 (table clustering, mixed batches); with
+        # block splitting the group's SIGNED-context flag rides at bit 8
+        grpv = grp_ref[:]
+        grp = grpv & 0xFF if nbt > 1 else grpv
         gbase = grp * (TABK * 128)
 
         @pl.when(i == 0)
@@ -686,7 +697,32 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
             is_dist = kind == K_DIST
             live = kind != K_PAD
 
-            if nt > 1:
+            if nbt > 1:
+                # block-split literal tree: current block type comes from
+                # the static row->segment map (dynamic scalar VMEM reads
+                # are hardware-safe; scatter RMW is not — CLAUDE.md);
+                # cmap maps (btype*64 + ctx) -> tree over NBC chunks
+                seg = jnp.minimum(
+                    jnp.maximum(i * BR + r - 1, 0) // pseg, nseg - 1
+                )
+                btype = stype_ref[seg]
+                ctx_u = (rec0 >> 14) & 0x3F
+                ctx_s = (rec0 >> 20) & 0x3F
+                mode = (grpv >> 8) & 1
+                ctx_g = jnp.where(mode > 0, ctx_s, ctx_u)
+                cidx = btype * 64 + ctx_g
+                lo = cidx & 127
+                hi = cidx >> 7
+                tree = jnp.zeros(S, jnp.int32)
+                for g in range(n_groups):
+                    for c in range(NBC):
+                        chunk = cmap_ref[
+                            (g * NBC + c) * 8:(g * NBC + c + 1) * 8, :
+                        ]
+                        got = jnp.take_along_axis(chunk, lo, axis=1)
+                        tree = jnp.where((grp == g) & (hi == c), got, tree)
+                lit_idx = tree * 256 + (code & 0xFF)
+            elif nt > 1:
                 # context-mapped literal tree: the record carries both
                 # candidate context ids (UTF8 at bits 14-19, SIGNED at
                 # 20-25); each group's cmap chunk selects its mode (flag at
@@ -749,6 +785,19 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
                 )
                 return b0, b1, b2, b3, avail + nbu
 
+            if nbt > 1:
+                # flagged literal (bit 26): the block switch that ends the
+                # previous block precedes this literal's code — append the
+                # host-precomputed type+length+extra pattern (<=27 bits,
+                # nbits in the word's top 5 bits; 0 on suppressed flags)
+                sww = sw_ref[seg]
+                sw_nb = jnp.where(
+                    ((rec0 >> 26) & 1) > 0, (sww >> 27).astype(jnp.int32), 0
+                )
+                b0, b1, b2, b3, avail = append(
+                    b0, b1, b2, b3, avail,
+                    sww & jnp.uint32(0x07FFFFFF), sw_nb,
+                )
             b0, b1, b2, b3, avail = append(b0, b1, b2, b3, avail, sym_bits, sym_nb)
             b0, b1, b2, b3, avail = append(b0, b1, b2, b3, avail, ex1_v, ex1_nb)
             b0, b1, b2, b3, avail = append(b0, b1, b2, b3, avail, ex2_v, ex2_nb)
@@ -787,8 +836,36 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
         for k in range(6, 8):
             status_ref[k] = jnp.zeros(S, jnp.uint32)
 
-    def runner(rec0, rec1, tab, cmap, consts, grp, init0, initav):
+    def runner(rec0, rec1, tab, cmap, consts, grp, init0, initav,
+               sw=None, stype=None):
         grid = (n_blocks,)
+        in_specs = [
+            pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups * TABK * 8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups * NBC * 8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [rec0, rec1, tab, cmap, consts, grp, init0, initav]
+        if nbt > 1:
+            in_specs += [
+                pl.BlockSpec((nseg, 8, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nseg, 8, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args += [sw, stype]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -797,24 +874,7 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
                 jax.ShapeDtypeStruct((n_blocks * BR, 8, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((8, 8, 128), jnp.uint32),
             ),
-            in_specs=[
-                pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_groups * TABK * 8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_groups * 8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((BR, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -826,7 +886,7 @@ def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
             scratch_shapes=[pltpu.VMEM((7, 8, 128), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(rec0, rec1, tab, cmap, consts, grp, init0, initav)
+        )(*args)
 
     return runner
 
@@ -848,49 +908,64 @@ DIST_ALPHABET = 16 + 0 + (48 << 0)  # npostfix=0, ndirect=0
 # flat per-group histogram layout for the device bincount:
 # [64*256 lit(ctx,byte) | 704 cmd | 64 dist] = 17152 bins per group + 1 dump
 _HIST_STRIDE_DEFAULT = 8
-_HG = 64 * 256 + NUM_COMMAND_SYMBOLS + 64
+
+
+def _hg(nbt: int) -> int:
+    """Flat per-group bins: nbt*64 (type,ctx) x 256 lit + 704 cmd + 64 dist."""
+    return nbt * 64 * 256 + NUM_COMMAND_SYMBOLS + 64
 
 
 @_functools.lru_cache(maxsize=8)
-def _jitted_group_hist(n_groups: int, stride: int):
+def _jitted_group_hist(n_groups: int, stride: int, nbt: int = 1):
     """Device histogrammer: strided records + per-lane group ids -> flat
-    (G*_HG+1,) counts via one bincount (scatter-add).  Replaces bulk
+    (G*hg+1,) counts via one bincount (scatter-add).  Replaces bulk
     sample fetches: the host only downloads the compact counts, so dense
     histograms cost ~30 ms of device scatter instead of an 8 MB transfer.
     `signed_mode` selects per lane which of the record's two context-id
-    fields (UTF8 at bits 14-19, SIGNED at 20-25) keys the literal bins."""
+    fields (UTF8 at bits 14-19, SIGNED at 20-25) keys the literal bins.
+    With block splitting, `btype` (per strided column, precomputed from
+    the static column->segment map) extends the literal key to
+    (type, ctx, byte)."""
     import jax
     import jax.numpy as jnp
 
-    def hist(rec0, grp, signed_mode):
+    hg = _hg(nbt)
+    lit_bins = nbt * 64 * 256
+
+    def hist(rec0, grp, signed_mode, btype=None):
         sub = rec0[:, ::stride]
         kind = (sub >> 28) & 0xF
         code = sub & 0x3FFF
         ctx = jnp.where(
             signed_mode[:, None] > 0, (sub >> 20) & 0x3F, (sub >> 14) & 0x3F
         )
-        base = grp[:, None] * _HG
+        if nbt > 1:
+            ctx = btype * 64 + ctx
+        base = grp[:, None] * hg
         key = jnp.where(
             kind == K_LIT, base + ctx * 256 + (code & 0xFF),
             jnp.where(
-                kind == K_CMD, base + 16384 + jnp.clip(code, 0, 703),
+                kind == K_CMD, base + lit_bins + jnp.clip(code, 0, 703),
                 jnp.where(
-                    kind == K_DIST, base + 16384 + 704 + jnp.clip(code, 0, 63),
-                    n_groups * _HG,
+                    kind == K_DIST,
+                    base + lit_bins + 704 + jnp.clip(code, 0, 63),
+                    n_groups * hg,
                 ),
             ),
         )
-        return jnp.bincount(key.reshape(-1), length=n_groups * _HG + 1)
+        return jnp.bincount(key.reshape(-1), length=n_groups * hg + 1)
 
     return jax.jit(hist)
 
 
-def _split_group_hist(flat: np.ndarray, g: int):
-    """(lit_hists (64,256), cmd_hist, dist_hist) for group g."""
-    seg = flat[g * _HG : (g + 1) * _HG].astype(np.int64)
-    lit_hists = seg[:16384].reshape(64, 256)
-    cmd_hist = seg[16384 : 16384 + 704] * 8 + 1
-    dist_hist = seg[16384 + 704 : 16384 + 704 + 64] * 8 + 1
+def _split_group_hist(flat: np.ndarray, g: int, nbt: int = 1):
+    """(lit_hists (nbt*64,256), cmd_hist, dist_hist) for group g."""
+    hg = _hg(nbt)
+    lit_bins = nbt * 64 * 256
+    seg = flat[g * hg : (g + 1) * hg].astype(np.int64)
+    lit_hists = seg[:lit_bins].reshape(nbt * 64, 256)
+    cmd_hist = seg[lit_bins : lit_bins + 704] * 8 + 1
+    dist_hist = seg[lit_bins + 704 : lit_bins + 704 + 64] * 8 + 1
     return lit_hists, cmd_hist, dist_hist
 
 
@@ -920,19 +995,58 @@ def _cluster_rows(hists: np.ndarray, k: int, iters: int = 8):
 
 def _group_tables_from_hists(lit_hists, cmd_hist, dist_hist, nt: int):
     """One table group's entropy codes: (lit_tables [<=nt], cmap (64,),
-    cmd, dist).  Literal contexts (UTF8 mode) cluster into <= nt trees —
-    the device analog of the reference's context modeling + clustering
-    (metablock.ts:504-761, cluster.ts:317-378)."""
+    cmd, dist).  Literal contexts (UTF8 mode) cluster into <= nt trees
+    via the reference's exact bit-cost agglomerative clustering
+    (cluster.ts:317-378, reused from the host encoder) — measured ~2pt
+    better ratio than L2 k-means on font content."""
     from ..encode.entropy import build_huffman_code
+    from ..encode.metablock_full import _cluster_and_build_context_map
 
+    n_rows = lit_hists.shape[0]   # 64 contexts, x NBT block types if split
     if nt == 1:
-        cmap = np.zeros(64, np.int64)
+        cmap = np.zeros(n_rows, np.int64)
         tree_hists = lit_hists.sum(axis=0, keepdims=True)
     else:
-        cmap = _cluster_rows(lit_hists, nt)
+        n_used, cm = _cluster_and_build_context_map(
+            lit_hists.tolist(), n_rows, NUM_LITERAL_SYMBOLS
+        )
+        cmap = np.asarray(cm, np.int64)
+        if n_used > nt:
+            # cap at the kernel's tree budget: fold the smallest-weight
+            # clusters into their nearest (bit-cost) survivor
+            w = np.zeros(n_used, np.int64)
+            for c in range(n_rows):
+                w[cmap[c]] += int(lit_hists[c].sum())
+            keep = np.argsort(-w)[:nt]
+            keep_set = set(keep.tolist())
+            remap = {}
+            for j in range(n_used):
+                if j in keep_set:
+                    remap[j] = j
+            hs = {j: lit_hists[cmap == j].sum(axis=0) for j in range(n_used)}
+
+            def cost(h):
+                t = h.sum()
+                nz = h[h > 0]
+                return float(t * np.log2(max(t, 1)) - (nz * np.log2(nz)).sum()) \
+                    if t > 0 else 0.0
+
+            for j in range(n_used):
+                if j in keep_set:
+                    continue
+                best, bestd = None, None
+                for k in keep:
+                    d = cost(hs[j] + hs[int(k)]) - cost(hs[int(k)])
+                    if bestd is None or d < bestd:
+                        best, bestd = int(k), d
+                remap[j] = best
+            cmap = np.asarray([remap[int(x)] for x in cmap], np.int64)
+            used = sorted(set(cmap.tolist()))
+            dense = {j: i for i, j in enumerate(used)}
+            cmap = np.asarray([dense[int(x)] for x in cmap], np.int64)
         n_used = int(cmap.max()) + 1
         tree_hists = np.zeros((n_used, 256), np.int64)
-        for c in range(64):
+        for c in range(n_rows):
             tree_hists[cmap[c]] += lit_hists[c]
     lits = [
         build_huffman_code(h * 8 + 1, NUM_LITERAL_SYMBOLS) for h in tree_hists
@@ -977,30 +1091,159 @@ def _cluster_lanes(rec0_sample: np.ndarray, n_groups: int,
     return group, modes
 
 
-def _header_bits(mlen: int, lgwin: int, grp_tables: dict) -> "object":
+def _plan_block_switches(seg_type: np.ndarray, seg_litcnt: np.ndarray,
+                         n_chunks: int, group_of: np.ndarray,
+                         n_groups: int, nbt: int):
+    """Turn per-segment types into concrete block-switch plans (host).
+
+    Vectorized over lanes, looping only over the <=32 segments: merge
+    same-type neighbour segments, cap block length at 16624 literals (the
+    largest 13-extra-bit block count — keeps every in-stream switch within
+    the 27-bit record budget), compute forward block lengths, and build
+    per-GROUP type/length prefix trees.  Block type ids are permuted per
+    lane (swap 0 <-> lane's first type) because RFC 7932 fixes the first
+    block's type at 0 (block-splitter.ts analog: splits there always start
+    at type 0); the header's context map is permuted the same way so the
+    kernel keeps using global ids.
+
+    Returns (sw_words (B, NSEG) u32 = bit pattern | nbits<<27,
+    first_blen (B,), t0 (B,), group_splits[g] dict).
+    """
+    from ..constants import BLOCK_LENGTH_N_BITS, BLOCK_LENGTH_OFFSET
+    from ..encode.bitwriter import BitWriter
+    from ..encode.entropy import build_and_store_huffman_tree
+
+    B, NSEG = seg_type.shape
+    MAX_BLEN = int(BLOCK_LENGTH_OFFSET[25]) - 1   # 16624
+    cnts = seg_litcnt.astype(np.int64)
+    mark = np.zeros((B, NSEG), bool)
+    mark[:, 0] = True
+    cur = seg_type[:, 0].copy()
+    run = cnts[:, 0].copy()
+    for s in range(1, NSEG):
+        c = cnts[:, s]
+        sw = (c > 0) & ((seg_type[:, s] != cur) | (run + c > MAX_BLEN))
+        mark[:, s] = sw
+        cur = np.where(sw, seg_type[:, s], cur)
+        run = np.where(sw, 0, run) + c
+    blen = np.zeros((B, NSEG), np.int64)
+    acc = np.zeros(B, np.int64)
+    for s in range(NSEG - 1, -1, -1):
+        acc = acc + cnts[:, s]
+        blen[:, s] = np.where(mark[:, s], acc, 0)
+        acc = np.where(mark[:, s], 0, acc)
+
+    t0 = seg_type[:, 0].copy()
+    ptype = np.where(seg_type == t0[:, None], 0,
+                     np.where(seg_type == 0, t0[:, None], seg_type))
+    tsym = ptype + 2     # always-explicit type codes (valid, simple)
+    lcode = np.clip(
+        np.searchsorted(BLOCK_LENGTH_OFFSET, blen, side="right") - 1, 0, 25
+    )
+    extra = blen - BLOCK_LENGTH_OFFSET[lcode]
+    nb_extra = BLOCK_LENGTH_N_BITS[lcode]
+
+    in_batch = np.zeros(B, bool)
+    in_batch[:n_chunks] = True
+    body_mark = mark.copy()
+    body_mark[:, 0] = False   # block 0 is declared in the header
+    sw_words = np.zeros((B, NSEG), np.uint32)
+    group_splits = []
+    for g in range(n_groups):
+        lanes = in_batch & (group_of[:B] == g)
+        bm = body_mark & lanes[:, None]
+        am = mark & lanes[:, None]
+        thist = np.bincount(tsym[bm], minlength=nbt + 2).tolist()
+        lhist = np.bincount(lcode[am], minlength=26).tolist()
+        if sum(thist) == 0:
+            thist[2] = 1  # no switches in group: still store a valid tree
+        if sum(lhist) == 0:
+            lhist[0] = 1
+
+        def trees(th, lh):
+            wtmp = BitWriter()
+            td, tb = build_and_store_huffman_tree(wtmp, th, nbt + 2)
+            ld, lb = build_and_store_huffman_tree(wtmp, lh, 26)
+            return td, tb, ld, lb
+
+        td, tb, ld, lb = trees(thist, lhist)
+        tdn, tbn = np.asarray(td), np.asarray(tb)
+        ldn, lbn = np.asarray(ld), np.asarray(lb)
+        nbits = tdn[np.clip(tsym, 0, nbt + 1)] + ldn[lcode] + nb_extra
+        if bm.any() and int(nbits[bm].max()) > 27:
+            # pathological tree depths: rebuild from flat histograms so
+            # every used symbol gets a ~log2(n) code (<= 27 total bits)
+            thist = [1 if c else 0 for c in thist]
+            lhist = [1 if c else 0 for c in lhist]
+            td, tb, ld, lb = trees(thist, lhist)
+            tdn, tbn = np.asarray(td), np.asarray(tb)
+            ldn, lbn = np.asarray(ld), np.asarray(lb)
+            nbits = tdn[np.clip(tsym, 0, nbt + 1)] + ldn[lcode] + nb_extra
+            assert int(nbits[bm].max()) <= 27
+        tsymc = np.clip(tsym, 0, nbt + 1)
+        pat = (
+            tbn[tsymc].astype(np.int64)
+            | (lbn[lcode].astype(np.int64) << tdn[tsymc].astype(np.int64))
+            | (extra << (tdn[tsymc] + ldn[lcode]).astype(np.int64))
+        )
+        w_g = (pat & 0x7FFFFFF) | (nbits.astype(np.int64) << 27)
+        sw_words = np.where(bm, w_g.astype(np.uint32), sw_words)
+        group_splits.append(dict(thist=thist, lhist=lhist))
+    first_blen = blen[:, 0]
+    return sw_words, first_blen, t0, group_splits
+
+
+def _header_bits(mlen: int, lgwin: int, grp_tables: dict,
+                 split: dict | None = None) -> "object":
     """Stream + metablock header + tree declarations for one chunk.
 
-    Single block type per category; NT context-mapped literal trees (UTF8
-    context mode) when the group has them.  Returns the BitWriter."""
+    Single block type per category (or NBT literal block types when
+    `split` is given: type + length trees and the first block length per
+    metablock_full._build_and_store_block_split_code's layout); NT
+    context-mapped literal trees when the group has them.  Returns the
+    BitWriter."""
+    from ..constants import BLOCK_LENGTH_N_BITS, BLOCK_LENGTH_OFFSET
     from ..encode.bitwriter import BitWriter, encode_window_bits, store_var_len_uint8
     from ..encode.context_map import encode_context_map
-    from ..encode.entropy import store_huffman_tree
+    from ..encode.entropy import build_and_store_huffman_tree, store_huffman_tree
     from ..encode.metablock import store_compressed_metablock_header
 
     lits = grp_tables["lits"]
     nt = len(lits)
+    nbt = split["nbt"] if split else 1
     w = BitWriter()
     nb, val = encode_window_bits(lgwin, False)
     w.write(nb, val)
     store_compressed_metablock_header(w, True, mlen)
-    store_var_len_uint8(w, 0)  # NBLTYPESL - 1
+    if nbt > 1:
+        store_var_len_uint8(w, nbt - 1)      # NBLTYPESL - 1
+        _, _ = build_and_store_huffman_tree(w, split["thist"], nbt + 2)
+        ld, lb = build_and_store_huffman_tree(w, split["lhist"], 26)
+        # first block switch: length only (type is implicitly 0)
+        fb = int(split["first_blen"])
+        code = int(np.searchsorted(BLOCK_LENGTH_OFFSET, fb, side="right")) - 1
+        w.write(ld[code], lb[code])
+        w.write(int(BLOCK_LENGTH_N_BITS[code]),
+                fb - int(BLOCK_LENGTH_OFFSET[code]))
+    else:
+        store_var_len_uint8(w, 0)  # NBLTYPESL - 1
     store_var_len_uint8(w, 0)  # NBLTYPESI - 1
     store_var_len_uint8(w, 0)  # NBLTYPESD - 1
     w.write(2, 0)              # NPOSTFIX
     w.write(4, 0)              # NDIRECT >> NPOSTFIX
     # context mode: per-group choice (UTF8/SIGNED) when context-mapped
-    w.write(2, grp_tables.get("mode", 0) if nt > 1 else 0)
-    encode_context_map(w, list(grp_tables["cmap"]), nt)
+    mode = grp_tables.get("mode", 0) if nt > 1 else 0
+    for _ in range(nbt):
+        w.write(2, mode)
+    cmap = list(grp_tables["cmap"])
+    if nbt > 1:
+        # permute type rows 0 <-> t0 (first block must be type 0; the
+        # in-stream switch symbols use the same permutation)
+        t0 = int(split["t0"])
+        rows = list(range(nbt))
+        rows[0], rows[t0] = rows[t0], rows[0]
+        cmap = [cmap[r * 64 + c] for r in rows for c in range(64)]
+    encode_context_map(w, cmap, nt)
     encode_context_map(w, [0, 0, 0, 0], 1)   # trivial distance cmap
     for lit in lits:
         store_huffman_tree(w, lit[0], NUM_LITERAL_SYMBOLS, lit[2], lit[3])
@@ -1044,10 +1287,112 @@ class DeviceEncodeResult:
     device_seconds: float | None = None
 
 
+def _segment_stats(data_arr, is_lit, nbt: int, pseg: int, feat_stride: int = 8):
+    """Per-position-segment literal stats + device k-means block typing.
+
+    TPU-native analog of the reference's block-split DP + clustering
+    (block-splitter.ts:117-211, cluster.ts): instead of a sequential DP
+    over symbol positions, chunks are cut at FIXED position segments whose
+    first literal is the (potential) block boundary — every flag/count is
+    then a reshape-reduce (no gathers), and typing is a small k-means over
+    coarse per-segment literal histograms whose distance/update steps are
+    matmuls (MXU).  Returns (seg_type (B,NSEG) i32, seg_litcnt (B,NSEG)
+    i32, first-lit flag (B,N) i32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, Npad = data_arr.shape
+    N = Npad - (MATCH_CAP + 4)
+    NSEG = N // pseg
+    lit3 = is_lit.reshape(B, NSEG, pseg)
+    seg_litcnt = lit3.sum(axis=2).astype(jnp.int32)
+    cum = jnp.cumsum(lit3, axis=2)
+    first = ((lit3 > 0) & (cum == 1)).reshape(B, N).astype(jnp.int32)
+
+    # coarse literal histograms (32 bins, strided) per segment
+    FS = feat_stride
+    bins = (data_arr[:, :N:FS].astype(jnp.int32) >> 3).reshape(
+        B, NSEG, pseg // FS
+    )
+    mask = (is_lit[:, ::FS] > 0).reshape(B, NSEG, pseg // FS)
+    feats = jnp.stack(
+        [jnp.sum(mask & (bins == v), axis=2) for v in range(32)], axis=2
+    ).astype(jnp.float32)                                   # (B, NSEG, 32)
+
+    # weighted k-means init, deterministic: centers seeded from a
+    # weight-sorted stride so heavy AND diverse segments are represented
+    M = B * NSEG
+    X = feats.reshape(M, 32)
+    wgt = X.sum(axis=1)
+    Xn = X / jnp.maximum(wgt, 1.0)[:, None]
+    order = jnp.argsort(-wgt)
+    seed_idx = order[:: max(1, M // nbt)][:nbt]
+    C = Xn[seed_idx]                                        # (nbt, 32)
+    assign = jnp.zeros((M,), jnp.int32)
+    for _ in range(4):
+        d = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = jnp.argmin(d, axis=1).astype(jnp.int32)
+        onehot = (assign[:, None] == jnp.arange(nbt)[None, :]).astype(
+            jnp.float32
+        )
+        sums = onehot.T @ (Xn * wgt[:, None])
+        wsum = onehot.T @ wgt[:, None]
+        C = sums / jnp.maximum(wsum, 1e-6)
+
+    # entropy-cost Viterbi refinement — the device analog of the
+    # reference's FindBlocks DP (block-splitter.ts:117-211): each segment
+    # pays its literals' bits under its type's model, a type change pays
+    # the switch bits.  Types are BATCH-global (shared trees per table
+    # group) but the path is per lane; 3 refinement rounds re-fit the
+    # models from the assignment like the reference's refinement loop.
+    # feats are FS-strided samples, so the switch penalty is scaled by FS.
+    SW_BITS = 36.0 / feat_stride   # switch + amortized per-type tree cost
+    cost_lane = None
+    for _ in range(3):
+        onehot = (assign[:, None] == jnp.arange(nbt)[None, :]).astype(
+            jnp.float32
+        )
+        H = onehot.T @ X + 1.0 / 256.0                     # (nbt, 32)
+        logp = jnp.log2(H / H.sum(axis=1, keepdims=True))
+        cost = -(feats.reshape(M, 32) @ logp.T)            # (M, nbt) bits
+        cost_lane = cost.reshape(B, NSEG, nbt)
+
+        # forward pass (unrolled: NSEG <= 64 tiny (B,nbt) steps)
+        dps = [cost_lane[:, 0, :]]
+        d_ = dps[0]
+        for s in range(1, NSEG):
+            best_any = jnp.min(d_, axis=1, keepdims=True)
+            d_ = cost_lane[:, s, :] + jnp.minimum(d_, best_any + SW_BITS)
+            dps.append(d_)
+        dpst = jnp.stack(dps, axis=1)                      # (B, NSEG, nbt)
+        last = jnp.argmin(dps[-1], axis=1).astype(jnp.int32)
+        types = [last]
+        cur = last
+        for s in range(NSEG - 1, 0, -1):
+            prev_dp = dpst[:, s - 1, :]                    # (B, nbt)
+            stay_cost = jnp.take_along_axis(
+                prev_dp, cur[:, None], axis=1
+            )[:, 0]
+            best_prev = jnp.argmin(prev_dp, axis=1).astype(jnp.int32)
+            best_cost = jnp.take_along_axis(
+                prev_dp, best_prev[:, None], axis=1
+            )[:, 0]
+            cur = jnp.where(
+                best_cost + SW_BITS < stay_cost, best_prev, cur
+            )
+            types.append(cur)
+        seg_type = jnp.stack(types[::-1], axis=1)          # (B, NSEG)
+        assign = seg_type.reshape(M)
+    return seg_type, seg_litcnt, first
+
+
 def _device_stages(data_arr, n_valid, hash_stride: int = 1,
                    max_distance: int | None = None, chain_depth: int = 2,
-                   lit_ctx: bool = False):
+                   lit_ctx: bool = False, nbt: int = 1, pseg: int = 2048):
     """All XLA stages fused under one jit: records ready for packing."""
+    import jax.numpy as jnp
+
     mlen, mdist = find_matches(data_arr, n_valid, hash_stride, max_distance,
                                chain_depth)
     is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid)
@@ -1055,14 +1400,25 @@ def _device_stages(data_arr, n_valid, hash_stride: int = 1,
         data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid,
         lit_ctx=lit_ctx,
     )
-    return rec0, rec1, n_rec
+    if nbt <= 1:
+        return rec0, rec1, n_rec
+    seg_type, seg_litcnt, first = _segment_stats(data_arr, is_lit, nbt, pseg)
+    # flag the first literal record of each segment (bit 26); record row
+    # p+1 holds position p (column 0 is the prepended first command)
+    B = rec0.shape[0]
+    flag_rec = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), first], axis=1
+    )
+    rec0 = rec0 | (flag_rec << 26)
+    return rec0, rec1, n_rec, seg_type, seg_litcnt
 
 
 def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
                   sample_stride: int, max_distance: int | None = None,
                   chain_depth: int = 2, device_input=None,
                   lit_ctx: bool = False,
-                  hist_stride: int = _HIST_STRIDE_DEFAULT):
+                  hist_stride: int = _HIST_STRIDE_DEFAULT,
+                  block_types: int = 1, block_seg: int = 2048):
     """Host prep + dispatch of the XLA match/parse/record stages.
 
     Returns a state dict; the device work is in flight when this returns
@@ -1097,13 +1453,22 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
     else:
         data_arr, n_valid = device_input
 
-    stages = _jitted_stages(hash_stride, max_distance, chain_depth, lit_ctx)
-    rec0, rec1, n_rec = stages(data_arr, n_valid)
+    nbt = block_types
+    if nbt > 1:
+        assert lit_ctx, "block_types > 1 requires lit_ctx records"
+        assert chunk_size % block_seg == 0 and nbt <= 7
+    stages = _jitted_stages(hash_stride, max_distance, chain_depth, lit_ctx,
+                            nbt, block_seg)
+    outs = stages(data_arr, n_valid)
+    rec0, rec1, n_rec = outs[:3]
+    seg_type, seg_litcnt = (outs[3], outs[4]) if nbt > 1 else (None, None)
     rec0_sample_dev = rec0[:, ::sample_stride]  # stays async
     return dict(
         data=data, chunk_size=chunk_size, n_chunks=n_chunks,
         n_valid_np=n_valid_np, rec0=rec0, rec1=rec1,
         rec0_sample_dev=rec0_sample_dev, hist_stride=hist_stride,
+        block_types=nbt, block_seg=block_seg,
+        seg_type=seg_type, seg_litcnt=seg_litcnt,
     )
 
 
@@ -1120,6 +1485,8 @@ def encode_device_batch(
     table_groups: int = 1,
     lit_ctx_trees: int = 1,
     hist_stride: int = _HIST_STRIDE_DEFAULT,
+    block_types: int = 1,
+    block_seg: int = 2048,
 ) -> list[bytes]:
     """Encode `data` on the TPU as B<=1024 chunk streams.
 
@@ -1129,7 +1496,12 @@ def encode_device_batch(
     lit_ctx_trees>1 turns on context modeling: literals are coded with up
     to that many context-mapped trees (UTF8 context mode, contexts
     clustered per table group); the streams decode on device via the v3
-    fused kernel (ops/pallas_decode3.py) or on host."""
+    fused kernel (ops/pallas_decode3.py) or on host.
+    block_types>1 adds intra-chunk literal block splitting (the device
+    analog of block-splitter.ts:117-211 — see _segment_stats /
+    _plan_block_switches): chunks are segmented every `block_seg` bytes,
+    segments are typed by device k-means, and block-switch commands are
+    emitted in-stream.  Requires lit_ctx_trees > 1."""
     data = bytes(data)
     if len(data) == 0:
         from ..encode.api import _encode_empty
@@ -1138,7 +1510,8 @@ def encode_device_batch(
     state = _encode_start(data, chunk_size, hash_stride, sample_stride,
                           max_distance, chain_depth,
                           lit_ctx=lit_ctx_trees > 1,
-                          hist_stride=hist_stride)
+                          hist_stride=hist_stride,
+                          block_types=block_types, block_seg=block_seg)
     _encode_mid(state, lgwin, interpret, table_groups, lit_ctx_trees)
     return _encode_finish(state)
 
@@ -1161,6 +1534,9 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
     n_valid_np = state["n_valid_np"]
     rec0, rec1 = state["rec0"], state["rec1"]
     nt = lit_ctx_trees
+    nbt = state.get("block_types", 1)
+    pseg = state.get("block_seg", 2048)
+    nseg = chunk_size // pseg if nbt > 1 else 1
     tabk = _tab_chunks(nt)
 
     # ---- lane clustering (coarse host sample) + dense device hists ----
@@ -1170,22 +1546,44 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
     signed_mode = np.asarray(
         [group_modes[g] == 3 for g in group_of], np.int32
     )
-    hist_fn = _jitted_group_hist(n_used_groups, state["hist_stride"])
+    split_args = ()
+    if nbt > 1:
+        seg_type_np = np.asarray(state["seg_type"])
+        seg_litcnt_np = np.asarray(state["seg_litcnt"])
+        sw_words, first_blen, t0_np, group_splits = _plan_block_switches(
+            seg_type_np, seg_litcnt_np, n_chunks, group_of,
+            n_used_groups, nbt,
+        )
+        # static column -> segment map for the strided histogram sample
+        # (record row j holds position j-1; column 0 is the first command)
+        cols = np.arange(0, rec0.shape[1], state["hist_stride"])
+        seg_cols = np.clip((cols - 1) // pseg, 0, nseg - 1)
+        split_args = (jnp.asarray(seg_type_np[:, seg_cols]),)
+    hist_fn = _jitted_group_hist(n_used_groups, state["hist_stride"], nbt)
     flat_hist = np.asarray(
         hist_fn(rec0, jnp.asarray(group_of.astype(np.int32)),
-                jnp.asarray(signed_mode))
+                jnp.asarray(signed_mode), *split_args)
     )
     tables = [
-        _group_tables_from_hists(*_split_group_hist(flat_hist, j), nt)
+        _group_tables_from_hists(*_split_group_hist(flat_hist, j, nbt), nt)
         for j in range(n_used_groups)
     ]
     for j, t in enumerate(tables):
         t["mode"] = group_modes[j] if nt > 1 else 0
     tab_np = np.concatenate([_pack_symbol_table(t, nt) for t in tables])
-    cmap_np = np.zeros((table_groups * 8, 128), np.int32)
+    NBC = -(-(nbt * 64) // 128) if nbt > 1 else 1
+    cmap_np = np.zeros((table_groups * NBC * 8, 128), np.int32)
     for j, t in enumerate(tables):
-        cmap_np[j * 8:(j + 1) * 8, :64] = t["cmap"][None, :]
-        cmap_np[j * 8:(j + 1) * 8, 127] = 1 if t.get("mode") == 3 else 0
+        if nbt > 1:
+            cm = np.zeros(NBC * 128, np.int32)
+            cm[: nbt * 64] = t["cmap"]
+            for c in range(NBC):
+                cmap_np[(j * NBC + c) * 8:(j * NBC + c + 1) * 8, :] = (
+                    cm[c * 128:(c + 1) * 128][None, :]
+                )
+        else:
+            cmap_np[j * 8:(j + 1) * 8, :64] = t["cmap"][None, :]
+            cmap_np[j * 8:(j + 1) * 8, 127] = 1 if t.get("mode") == 3 else 0
     # pad the table stack to the requested group count (static kernel shape)
     if len(tables) < table_groups:
         tab_np = np.concatenate(
@@ -1194,22 +1592,33 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
 
     header_cache: dict[tuple, bytes] = {}
 
-    def header_for(mlen_val: int, grp: int):
-        key = (mlen_val, grp)
+    def header_for(mlen_val: int, grp: int, s: int):
+        if nbt > 1:
+            key = (mlen_val, grp, int(first_blen[s]), int(t0_np[s]))
+        else:
+            key = (mlen_val, grp)
         if key not in header_cache:
-            w = _header_bits(mlen_val, lgwin, tables[grp])
+            split = None
+            if nbt > 1:
+                split = dict(nbt=nbt, first_blen=int(first_blen[s]),
+                             t0=int(t0_np[s]), **group_splits[grp])
+            w = _header_bits(mlen_val, lgwin, tables[grp], split)
             total_bits = len(w.take_bytes()) * 8 + w.nbits
             # re-build to recover the bit-level tail (take_bytes drained it)
-            w2 = _header_bits(mlen_val, lgwin, tables[grp])
+            w2 = _header_bits(mlen_val, lgwin, tables[grp], split)
             header_cache[key] = (w2, total_bits)
-        return header_cache[key]
+        return header_cache[key], (key if nbt > 1 else None)
 
     init0_np = np.zeros((8, 128), dtype=np.int32)
     initav_np = np.zeros((8, 128), dtype=np.int32)
     head_words: list[np.ndarray] = []
     head_bits_np = np.zeros(B_LANES, dtype=np.int64)
+    lane_hkey: list = [None] * B_LANES
     for s in range(n_chunks):
-        w, total_bits = header_for(int(n_valid_np[s]), int(group_of[s]))
+        (w, total_bits), hkey = header_for(
+            int(n_valid_np[s]), int(group_of[s]), s
+        )
+        lane_hkey[s] = hkey
         raw = w.finish()  # byte-aligned; valid bits = total_bits
         full_words = total_bits // 32
         wordbuf = np.frombuffer(raw + b"\x00" * ((-len(raw)) % 4), dtype="<u4")
@@ -1234,12 +1643,27 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
 
     rec0_t = _to_sub_lanes(pad_r(rec0))
     rec1_t = _to_sub_lanes(pad_r(rec1))
-    grp_np = group_of.astype(np.int32).reshape(8, 128)
-    pack = _jitted_pack(n_blocks, interpret, table_groups, nt)
+    grp_enc = group_of.astype(np.int32)
+    if nbt > 1:
+        grp_enc = grp_enc | (signed_mode.astype(np.int32) << 8)
+    grp_np = grp_enc.reshape(8, 128)
+    pack = _jitted_pack(n_blocks, interpret, table_groups, nt, nbt, pseg,
+                        nseg)
+    pack_extra = ()
+    if nbt > 1:
+        sw_t = jnp.asarray(
+            np.ascontiguousarray(sw_words.T).reshape(nseg, 8, 128)
+        )
+        stype_t = jnp.asarray(
+            np.ascontiguousarray(
+                seg_type_np.T.astype(np.int32)
+            ).reshape(nseg, 8, 128)
+        )
+        pack_extra = (sw_t, stype_t)
     keys, words, status = pack(
         rec0_t, rec1_t, jnp.asarray(tab_np), jnp.asarray(cmap_np),
         jnp.asarray(_pack_consts()), jnp.asarray(grp_np),
-        jnp.asarray(init0_np), jnp.asarray(initav_np),
+        jnp.asarray(init0_np), jnp.asarray(initav_np), *pack_extra,
     )
 
     # ---- device-side stream assembly (bytes end up whole in HBM) ----
@@ -1258,7 +1682,8 @@ def _encode_mid(state: dict, lgwin: int, interpret: bool,
     maxH = max(maxH, 1)
     hdr_stack = np.zeros((n_distinct, maxH), np.uint32)
     for s in range(n_chunks):
-        key = (int(n_valid_np[s]), int(group_of[s]))
+        key = lane_hkey[s] if nbt > 1 else \
+            (int(n_valid_np[s]), int(group_of[s]))
         hidx_np[s] = hdr_index[key]
         h_np[s] = len(head_words[s])
         hdr_stack[hidx_np[s], : h_np[s]] = head_words[s]

@@ -145,3 +145,54 @@ def test_context_mapped_encode_v3_decode():
     got3 = P3.decode_batch_v3(streams, H=2048, interpret=True)
     assert got3 == [data[i : i + 1024] for i in range(0, len(data), 1024)]
     assert fallback_stats()["lanes_fallback"] == before
+
+
+def test_block_split_encode_roundtrip_and_v3_decode():
+    """block_types>1: intra-chunk literal block splitting (segment typing
+    via device k-means + entropy-cost Viterbi, switch bits packed by the
+    kernel).  Streams must round-trip on host AND decode through the v3
+    fused kernel (which handles block switching on device)."""
+    from brotli_tpu.ops import pallas_decode3 as P3
+
+    font = open(
+        "/root/reference/bench/fixtures/enc-ttf.bin", "rb"
+    ).read()[: 8 * 2048]
+    data = ALICE[: 8 * 2048] + font
+    streams = encode_device_batch(
+        data, chunk_size=2048, interpret=True, table_groups=2,
+        lit_ctx_trees=4, block_types=3, block_seg=512,
+    )
+    got = b"".join(decode(s) for s in streams)
+    assert got == data
+    got3 = P3.decode_batch_v3(streams, H=2048, interpret=True)
+    assert got3 == [data[i : i + 2048] for i in range(0, len(data), 2048)]
+
+
+def test_block_split_switch_plan_invariants():
+    """Host switch planner: block lengths sum to the literal count, the
+    cap keeps every block <= 16624 literals, and suppressed segments
+    carry zero-bit switch words."""
+    import numpy as np
+
+    from brotli_tpu.ops.device_encode import _plan_block_switches
+
+    rng = np.random.default_rng(7)
+    B, NSEG = 16, 32
+    seg_type = rng.integers(0, 4, (B, NSEG))
+    seg_litcnt = rng.integers(0, 2048, (B, NSEG))
+    seg_litcnt[:, 0] = np.maximum(seg_litcnt[:, 0], 1)  # first byte is a literal
+    seg_litcnt[3, 5:] = 0          # lane with an empty tail
+    seg_type[4, :] = 2             # single-type lane: no body switches
+    group_of = np.zeros(B, np.int64)
+    sw, first_blen, t0, splits = _plan_block_switches(
+        seg_type, seg_litcnt, B, group_of, 1, 4
+    )
+    assert (first_blen >= 1).all() and (first_blen <= 16624).all()
+    assert (t0 == seg_type[:, 0]).all()
+    # lane 4: one block, no switch words
+    assert (sw[4] == 0).all()
+    # every emitted switch word fits the kernel's 27-bit pattern budget
+    nb = (sw >> 27).astype(int)
+    assert nb.max() <= 27
+    pat = sw & 0x07FFFFFF
+    assert (pat[nb == 0] == 0).all()
