@@ -7,6 +7,12 @@ Prints one JSON line per metric:
                                   extra fields: err_lanes on the timed
                                   batch, preflight_ms_per_batch (host
                                   header parse + table staging cost)
+  e2e_decode_sustained_1chip    — per-batch host preflight overlapped with
+                                  the in-flight device batch (the pipeline
+                                  number; burst_fraction vs metric 1)
+  decode_multibatch_scaling     — N*t(1)/t(N) for N independent batches
+                                  stacked in ONE jitted computation (the
+                                  scale-out proxy the tunnel cannot distort)
   entropy_decode_throughput_1chip — the token phase alone (round-1 metric,
                                   kept for continuity)
   device_encode_throughput_1chip — the WHOLE encode pipeline steady-state:
@@ -78,7 +84,31 @@ def _emit(metric, value, unit, vs_baseline, **extra):
     print(json.dumps(line), flush=True)
 
 
+def _chip_available(timeout_s: int = 240) -> bool:
+    """Probe the TPU in a subprocess: a wedged chip hangs jax backend init
+    for tens of minutes (watchdog recovery is hours) — fail fast with an
+    explicit metric line instead."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(int(jnp.arange(4).sum()))"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and b"6" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _chip_available():
+        _emit("chip_unavailable", 0.0, "none", 0.0,
+              note="TPU backend init failed/hung (wedged chip?); see "
+                   "CLAUDE.md Mosaic pitfalls - watchdog recovery is slow")
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
 
@@ -138,6 +168,8 @@ def main() -> None:
 
     t_e2e = time_device_fn(e2e, *args, rep=REP, samples=3, perturb=False)
     total = int(mlens.sum())
+    e2e_j = jax.jit(e2e)
+    int(e2e_j(*args).reshape(-1)[0])  # warm the top-level jit
     # untimed flag check: the timed batch itself must fully resolve
     toks0 = jnp.transpose(
         out0[:r_cap].reshape(r_cap, E2E_GROUPS, 8, 128), (1, 0, 2, 3)
@@ -150,6 +182,64 @@ def main() -> None:
           gbps / BASELINE_DECODE_GBPS, err_lanes=n_err,
           batch_mb=round(total / 1e6, 1),
           preflight_ms_per_batch=round(preflight_s * 1e3, 1))
+
+    # ---- metric 1b: sustained decode (host preflight vs device overlap) ----
+    # Burst throughput stages tables once; a production pipeline re-runs the
+    # host preflight per batch.  Here batch k's kernel is dispatched async,
+    # the NEXT batch's full host preflight (native header parse + table
+    # build + staging) runs while it flies, then a scalar fetch syncs.
+    # Dispatch round-trips are the dev tunnel's ~29 ms artifact (production
+    # dispatch is ~100 us) and are measured + subtracted per iteration.
+    from brotli_tpu.utils.benchmarks import measure_rtt
+
+    rtt = measure_rtt()
+    N_SUS = 4
+    t0 = time.time()
+    for _ in range(N_SUS):
+        h = e2e_j(*args)                      # dispatch, async
+        P2.preflight_shared(streams, groups=E2E_GROUPS, rate_sort=True)
+        int(h.reshape(-1)[0])                 # sync batch k
+    t_sus = max(1e-9, (time.time() - t0 - N_SUS * rtt) / N_SUS)
+    sus_gbps = total / t_sus / 1e9
+    _emit("e2e_decode_sustained_1chip", sus_gbps * 1000, "MB/s",
+          sus_gbps / BASELINE_DECODE_GBPS,
+          burst_fraction=round(t_e2e / t_sus, 3))
+
+    # ---- metric 1c: multi-batch scaling inside ONE jit (no dispatch) ----
+    # N independent per-device batches stacked as N lane-groups in a single
+    # jitted computation vs one batch alone: the marginal per-batch cost is
+    # the honest single-host analog of data-parallel scale-out (the tunnel
+    # serializes separate dispatches, so round 3's async-dispatch proxy
+    # measured the tunnel, not the chip).  Efficiency N*t(1)/t(N) >= 1
+    # means per-batch cost does not grow when batches share a computation.
+    streams_1g = streams[:1024]
+    b1 = P2.preflight_shared(streams_1g, groups=1, rate_sort=True)
+    nb1 = P2.plan_blocks(b1)
+    k1 = P2.get_kernel(
+        b1.Wpad, P2.DEFAULT_D, P2.DEFAULT_BLOCK_ROWS, nb1,
+        b1.npostfix, b1.ndirect, b1.maxbw, False,
+        lit_k=b1.lit_k, cmd_k=b1.cmd_k, dist_k=b1.dist_k,
+        dx_k=b1.dx_k, groups=1,
+    )
+    args1 = [jnp.asarray(x) for x in (b1.wt, b1.lit_t, b1.cmd_t, b1.dist_t,
+                                      b1.dx_t, b1.consts, b1.scal)]
+    out01 = k1(*args1)
+    r_cap1 = P2.used_token_rows(out01, nb1)
+    max_mlen1 = int(b1.mlens.max())
+    n_out1 = max(PR.FLUSH, -(-max_mlen1 // 4 // PR.FLUSH) * PR.FLUSH)
+    rk1 = PR.get_resolve_kernel(r_cap1, n_out1, E2E_H // 4, PR.DEFAULT_DT,
+                                1, None, False)
+    scal1 = jnp.asarray(b1.mlens.astype(np.int32).reshape(8, 128))
+
+    def e2e_1(*a):
+        out = k1(*a)
+        res = rk1(out[:r_cap1], scal1)
+        return res[0, 0, :8].astype(jnp.int32)
+
+    t1 = time_device_fn(e2e_1, *args1, rep=REP, samples=3, perturb=False)
+    eff = (E2E_GROUPS * t1) / t_e2e
+    _emit("decode_multibatch_scaling", eff, "x", eff, n=E2E_GROUPS,
+          t1_ms=round(t1 * 1e3, 1), tn_ms=round(t_e2e * 1e3, 1))
 
     # ---- metric 2: entropy phase alone (round-1 continuity) ----
     data2 = (base * 64)[: 1024 * ENT_CHUNK]

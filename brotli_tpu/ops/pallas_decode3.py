@@ -133,7 +133,13 @@ def _build_consts() -> np.ndarray:
 def _context_lut_chunks() -> np.ndarray:
     from ..decode.engine import _CONTEXT_LUT
 
-    return _replicate(np.asarray(_CONTEXT_LUT, np.int32), 16)
+    lut = np.asarray(_CONTEXT_LUT, np.int32)
+    # the kernel's lut2 computes modes 0/1 closed-form and only gathers
+    # chunks 8-15 for modes 2/3 — guard that layout here
+    r = np.arange(256)
+    assert (lut[0:256] == (r & 63)).all() and (lut[256:512] == 0).all()
+    assert (lut[512:768] == (r >> 2)).all() and (lut[768:1024] == 0).all()
+    return _replicate(lut, 16)
 
 
 def _dict_chunks() -> tuple[np.ndarray, int]:
@@ -212,6 +218,9 @@ class V3Batch:
     Wpad: int
     groups: int
     perm: np.ndarray | None = None
+    # per-slot real (non-padding) word count; lanes that consume past it
+    # ran off their own truncated stream (see decode_batch_v3)
+    n_words: np.ndarray | None = None
 
 
 @dataclass
@@ -303,6 +312,7 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
     bsw_parts, cmap_parts, dx_parts = [], [], []
     start_bits = np.zeros(G * NSTREAM, np.int32)
     mlens = np.zeros(G * NSTREAM, np.int64)
+    n_words = np.zeros(G * NSTREAM, np.int32)
     blen_init = np.zeros((3, G * NSTREAM), np.int32)
     perm = np.full(G * NSTREAM, -1, np.int64)
     rebased = []
@@ -350,6 +360,7 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
                 rebased.append((slot, p.words[w0:]))
                 start_bits[slot] = p.cmd_start_bit & 31
                 mlens[slot] = p.mlen
+                n_words[slot] = p.words.shape[0] - w0
                 for c in range(3):
                     blen_init[c, slot] = min(rep.block_len[c], 1 << 28)
                 perm[slot] = i
@@ -384,6 +395,7 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
         cmap_t=stack(cmap_parts), dx_t=stack(dx_parts),
         scal=scal, mlens=mlens, n_streams=len(streams),
         configs=tuple(configs), Wpad=Wpad, groups=G, perm=perm,
+        n_words=n_words,
     )
 
 
@@ -447,8 +459,20 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             group's tree-group stack."""
             base = goff + tree_idx * tree_chunks
             root_idx = (v15 & 0xFF).astype(jnp.int32)
-            e0 = chunk_lookup(tab_ref, goff, n_chunks,
-                              base + (root_idx >> 7), root_idx & 127)
+            # level 1: the 8-bit root index lands in the FIRST TWO chunks
+            # of the selected tree, so the select chain only needs to
+            # visit 2 chunks per tree, not the whole category stack
+            # (~30-40% fewer sweep visits per symbol at NL=16/NC=8)
+            c1 = base + (root_idx >> 7)
+            lo1 = root_idx & 127
+            e0 = jnp.zeros(S, jnp.int32)
+            for t in range(n_chunks // tree_chunks):
+                for c in range(min(2, tree_chunks)):
+                    cc = goff + t * tree_chunks + c
+                    got = jnp.take_along_axis(
+                        tab_ref[cc * SUB:(cc + 1) * SUB, :], lo1, axis=1
+                    )
+                    e0 = jnp.where(c1 == cc, got, e0)
             bits0 = e0 >> 16
             need_sub = bits0 > 8
             sub_mask = (
@@ -470,12 +494,24 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             )
 
         def lut2(clo, p1, p2):
-            """ctx = LUT[clo+p1] | LUT[clo+256+p2] over the 16-chunk LUT."""
+            """ctx = LUT[clo+p1] | LUT[clo+256+p2].
+
+            Modes 0/1 (LSB6/MSB6) are closed-form (asserted against the
+            LUT at build time); table modes 2/3 (UTF8/SIGNED) live in
+            chunks 8-15 only — so 8 gather visits replace the former
+            32-visit full-LUT double sweep."""
             i1 = clo + p1
             i2 = clo + 256 + p2
-            a = chunk_lookup(lut_ref, 0, 16, i1 >> 7, i1 & 127)
-            b = chunk_lookup(lut_ref, 0, 16, i2 >> 7, i2 & 127)
-            return a | b
+            a = jnp.zeros(S, jnp.int32)
+            b = jnp.zeros(S, jnp.int32)
+            for c in (8, 9, 12, 13):
+                a = jnp.where((i1 >> 7) == c, gather1(lut_ref, c, i1), a)
+            for c in (10, 11, 14, 15):
+                b = jnp.where((i2 >> 7) == c, gather1(lut_ref, c, i2), b)
+            mode = clo >> 9
+            return jnp.where(
+                mode == 0, p1 & 63, jnp.where(mode == 1, p1 >> 2, a | b)
+            )
 
         def peek(b0, b1, b2, q, width_mask):
             lsel = q >> 5
@@ -1387,6 +1423,17 @@ def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
         batch, H=H, interpret=interpret, use_dict=use_dict
     )
     errs = out[:, n_out_rows].reshape(-1)
+    # truncated-stream guard (v2's lane_overran analog): the batch word
+    # table is zero-padded, so a truncated stream can reach DONE decoding
+    # zero bits as valid-looking symbols; a lane that consumed words past
+    # its own stream (+ the 64-bit lookahead's slack) must host-decode,
+    # which raises the reference's unexpected-EOF error
+    # (engine.ts:2136-2144 analog)
+    if batch.n_words is not None:
+        widx = out[:, n_out_rows + 4].reshape(-1).astype(np.int64)
+        errs = np.where(
+            widx > batch.n_words.astype(np.int64) + 4, errs | 0x100, errs
+        )
     words = out[:, :n_out_rows]
     by_stream = np.transpose(words, (0, 2, 3, 1)).reshape(
         batch.groups * NSTREAM, -1

@@ -140,6 +140,76 @@ def test_far_distance_falls_back_not_corrupts():
     assert fallback_stats()["lanes_fallback"] >= before
 
 
+def test_v3_truncated_lane_flags_not_garbage():
+    """Mid-body truncation must be flagged (widx overrun vs n_words), and
+    intact lanes in the same batch stay bit-exact.  The zero-padded word
+    table otherwise lets a truncated lane reach DONE decoding zeros
+    (reference analog: unexpected-EOF, engine.ts:2136-2144)."""
+    alice = _vec("alice29.txt")
+    chunks = [alice[0:450], alice[450:900], alice[900:1350]]
+    streams = [encode(c, quality=5) for c in chunks]
+    bad_i = 1
+    p_bad = P3.preflight_one_v3(streams[bad_i])
+    hdr_bytes = p_bad.cmd_start_bit // 8 + 1
+    keep = hdr_bytes + (len(streams[bad_i]) - hdr_bytes) // 4
+    streams[bad_i] = streams[bad_i][:keep]   # drop 75% of the body
+    assert P3.preflight_one_v3(streams[bad_i]) is not None, \
+        "cut must hit the body, not the header"
+    batch = P3.preflight_v3(streams)
+    out, n_out = P3.run_batch_v3(batch, H=H, interpret=True)
+    errs = out[:, n_out].reshape(-1)
+    widx = out[:, n_out + 4].reshape(-1).astype(np.int64)
+    flagged = (errs != 0) | (widx > batch.n_words.astype(np.int64) + 4)
+    slot_of = {int(batch.perm[s]): s
+               for s in range(batch.groups * 1024) if batch.perm[s] >= 0}
+    assert flagged[slot_of[bad_i]], "truncated lane must flag"
+    words = out[:, :n_out]
+    by_stream = np.transpose(words, (0, 2, 3, 1)).reshape(
+        batch.groups * 1024, -1
+    )
+    raw = np.ascontiguousarray(by_stream).astype("<u4").view(np.uint8)
+    raw = raw.reshape(batch.groups * 1024, -1)
+    for i in (0, 2):
+        s = slot_of[i]
+        assert not flagged[s]
+        assert bytes(raw[s, : batch.mlens[s]]) == chunks[i]
+    # the library batch path surfaces it as the host fallback's error
+    from brotli_tpu import BrotliError
+
+    with pytest.raises(BrotliError):
+        P3.decode_batch_v3(streams, H=H, interpret=True)
+
+
+def test_v3_poisoned_distance_flags():
+    """A crafted stream whose copy distance lands beyond both the window
+    and the static-dictionary range must flag ERR_STREAM on device (and
+    raise on host) — never hang, never emit silent garbage."""
+    from brotli_tpu.encode.api import _NO_MASK
+    from brotli_tpu.encode.bitwriter import BitWriter, encode_window_bits
+    from brotli_tpu.encode.command import make_command
+    from brotli_tpu.encode.metablock import store_metablock_trivial
+
+    data = b"ABCDEFGH????"          # 8 literals + 4 'copied' bytes
+    bogus_dist = (1 << 22) + (1 << 25)   # far past maxbw + dict range
+    commands = [make_command(8, 4, 0, bogus_dist + 15, 0, 0)]
+    w = BitWriter()
+    nb, val = encode_window_bits(22, False)
+    w.write(nb, val)
+    store_metablock_trivial(
+        w, data, 0, len(data), _NO_MASK, True, commands, 64, 0, 0
+    )
+    stream = w.finish()
+    from brotli_tpu import BrotliError
+
+    with pytest.raises(BrotliError):
+        host_decode(stream)
+    assert P3.preflight_one_v3(stream) is not None
+    batch = P3.preflight_v3([stream])
+    out, n_out = P3.run_batch_v3(batch, H=H, interpret=True)
+    errs = out[:, n_out].reshape(-1)
+    assert errs[0] != 0, "poisoned distance must flag the lane"
+
+
 def test_preflight_caps():
     """Streams over the static caps (e.g. enc-ttf's 61 literal block
     types) are host-handled, not mis-decoded."""
