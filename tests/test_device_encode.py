@@ -182,15 +182,20 @@ def test_block_split_switch_plan_invariants():
     seg_litcnt = rng.integers(0, 2048, (B, NSEG))
     seg_litcnt[:, 0] = np.maximum(seg_litcnt[:, 0], 1)  # first byte is a literal
     seg_litcnt[3, 5:] = 0          # lane with an empty tail
-    seg_type[4, :] = 2             # single-type lane: no body switches
-    group_of = np.zeros(B, np.int64)
+    seg_type[4, :] = 2             # single-type lane UNDER the cap:
+    seg_litcnt[4, :] = 256         # 8192 literals -> no body switches
+    seg_type[5, :] = 1             # single-type lane OVER the 16624 cap:
+    seg_litcnt[5, :] = 2000        # 64000 literals -> forced same-type
+    group_of = np.zeros(B, np.int64)  # splits to bound every block length
     sw, first_blen, t0, splits = _plan_block_switches(
         seg_type, seg_litcnt, B, group_of, 1, 4
     )
     assert (first_blen >= 1).all() and (first_blen <= 16624).all()
     assert (t0 == seg_type[:, 0]).all()
-    # lane 4: one block, no switch words
+    # lane 4: one block under the cap, no switch words
     assert (sw[4] == 0).all()
+    # lane 5: the cap forces ceil(64000/16624)-1 = 3 same-type switches
+    assert int((sw[5] != 0).sum()) == 3
     # every emitted switch word fits the kernel's 27-bit pattern budget
     nb = (sw >> 27).astype(int)
     assert nb.max() <= 27
