@@ -76,3 +76,27 @@ def test_native_preflight_matches_python():
                               np.asarray(py.dist_extra)[:544]), i
         assert np.array_equal(nv.dist_offset[:544],
                               np.asarray(py.dist_offset)[:544]), i
+
+
+def test_profile_e2e_decode_report():
+    """The per-phase profiler runs the real staged pipeline: phases cover
+    host preflight + both kernels, the summary's throughput/error fields
+    are consistent, and the report renders one line per phase."""
+    from brotli_tpu.encode.sharded import encode_sharded
+    from brotli_tpu.utils import phase_report, profile_e2e_decode
+
+    data = (b"profiling the lockstep pipeline " * 2048)[: 32 * 512]
+    streams = encode_sharded(data, chunk_size=512, max_distance=496)
+    phases, summary = profile_e2e_decode(streams, H=512, rep=1,
+                                         interpret=True)
+    names = [p.name for p in phases]
+    assert names == ["preflight (host)", "entropy kernel",
+                     "resolve kernel", "e2e device chain"]
+    assert all(p.seconds > 0 for p in phases)
+    assert summary["err_lanes"] == 0
+    assert summary["bytes"] == len(data)
+    assert summary["e2e_mbps"] > 0
+    assert 0 < summary["token_rows_used"] <= summary["token_row_budget"]
+    report = phase_report(phases, total_bytes=summary["bytes"])
+    assert len(report.splitlines()) == len(phases)
+    assert "err_lanes=0" in report
