@@ -137,3 +137,55 @@ def profile_e2e_decode(streams: list[bytes], H: int = 2048,
         "token_row_budget": rows,
     }
     return phases, summary
+
+
+def profile_device_encode(data: bytes, *, chunk_size: int = 32768,
+                          chain_depth: int = 4, table_groups: int = 2,
+                          lit_ctx_trees: int = 8, hist_stride: int = 16,
+                          sample_stride: int = 256,
+                          interpret: bool = False):
+    """Per-phase timing of the device encode pipeline on `data`.
+
+    One warm run compiles every jit; the timed run then splits the
+    steady-state wall into the pipeline's sync points: the match/parse
+    stage chain (dispatch + sample-fetch sync), the host cluster/table
+    build + histogram/pack/assembly dispatch, and the final size fetch
+    that drains the device queue.  Returns (phases, summary) with the
+    steady-state MB/s and exact compressed ratio.  The phase split is
+    wall-clock at the sync boundaries (tunnel round-trips included) —
+    it mirrors bench.py metric 3 rather than the RTT-subtracted kernel
+    timings, because encode throughput is a whole-pipeline number.
+    """
+    import numpy as np
+
+    from ..ops import device_encode as DE
+
+    def run(timed):
+        phases = []
+        t0 = time.perf_counter()
+        state = DE._encode_start(data, chunk_size, 1, sample_stride, None,
+                                 chain_depth, lit_ctx=lit_ctx_trees > 1,
+                                 hist_stride=hist_stride)
+        np.asarray(state["rec0_sample_dev"])   # sync the stage chain
+        phases.append(Phase("match/parse stages", time.perf_counter() - t0,
+                            "device", {"chunks": state["n_chunks"]}))
+        t0 = time.perf_counter()
+        DE._encode_mid(state, 22, interpret, table_groups, lit_ctx_trees)
+        phases.append(Phase("tables + pack dispatch",
+                            time.perf_counter() - t0, "host"))
+        t0 = time.perf_counter()
+        sizes = DE.stream_sizes(state)
+        phases.append(Phase("assembly sync", time.perf_counter() - t0,
+                            "device"))
+        return phases, sizes
+
+    run(False)                                  # warm: compile everything
+    t0 = time.perf_counter()
+    phases, sizes = run(True)
+    wall = time.perf_counter() - t0
+    summary = {
+        "bytes": len(data),
+        "encode_mbps": len(data) / wall / 1e6,
+        "ratio": float(np.sum(sizes)) / len(data),
+    }
+    return phases, summary

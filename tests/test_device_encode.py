@@ -201,3 +201,22 @@ def test_block_split_switch_plan_invariants():
     assert nb.max() <= 27
     pat = sw & 0x07FFFFFF
     assert (pat[nb == 0] == 0).all()
+
+
+def test_profile_device_encode_report():
+    """Encode profiler: phases cover the three sync boundaries and the
+    summary's ratio matches a real compressed ratio on the interpret
+    pipeline."""
+    from brotli_tpu.utils import phase_report, profile_device_encode
+
+    data = (b"profiling the device encode pipeline " * 2048)[: 32 * 1024]
+    phases, summary = profile_device_encode(
+        data, chunk_size=1024, chain_depth=2, table_groups=1,
+        lit_ctx_trees=1, interpret=True)
+    assert [p.name for p in phases] == [
+        "match/parse stages", "tables + pack dispatch", "assembly sync"]
+    assert all(p.seconds > 0 for p in phases)
+    assert summary["bytes"] == len(data)
+    assert 0 < summary["ratio"] < 1
+    assert summary["encode_mbps"] > 0
+    assert len(phase_report(phases).splitlines()) == 3
