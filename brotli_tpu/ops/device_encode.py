@@ -641,6 +641,9 @@ def _jitted_assemble(maxH: int, n_distinct: int):
 
 def _build_pack(n_blocks: int, interpret: bool, n_groups: int = 1,
                 nt: int = 1, nbt: int = 1, pseg: int = 2048, nseg: int = 1):
+    if not interpret:
+        from ..utils.interpret_gate import assert_validated
+        assert_validated(__file__)
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

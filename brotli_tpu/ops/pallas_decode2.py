@@ -110,6 +110,9 @@ def _build(Wpad: int, D: int, block_rows: int, n_blocks: int,
     groups > 1 interleaves that many independent 1024-stream groups in one
     kernel: the per-stream dependency chain is latency-bound, so a second
     group's chain fills the pipeline bubbles."""
+    if not interpret:
+        from ..utils.interpret_gate import assert_validated
+        assert_validated(__file__)
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

@@ -405,6 +405,9 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
 
 def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
            row_budget: int, use_dict: bool, interpret: bool):
+    if not interpret:
+        from ..utils.interpret_gate import assert_validated
+        assert_validated(__file__)
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

@@ -109,6 +109,9 @@ ERR_MALFORMED = 4         # tag-2 distance without a pending tag-1 length
 
 def _build(R_tok: int, n_out_rows: int, V: int, DT: int, groups: int,
            row_budget: int, interpret: bool):
+    if not interpret:
+        from ..utils.interpret_gate import assert_validated
+        assert_validated(__file__)
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
