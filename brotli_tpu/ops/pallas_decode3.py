@@ -80,9 +80,12 @@ CMCH = 6   # cmap region: 4 lit cmap + 1 dist cmap + 1 modes(clo)
 
 FLUSH = 32
 STAG_LIMIT = 1024        # rows without any progress -> flag live lanes
+FW = 32                  # far-fetch staging window rows (128 B of source)
+TAIL = 16                # status rows per group appended after the output
+SCAL_ROWS = 12           # per-group scalar rows (see preflight_v3)
 
 # lane error flags
-ERR_FAR_DIST = 1         # copy distance beyond the VMEM ring window
+ERR_FAR_DIST = 1         # copy distance beyond ring + flushed history
 ERR_STREAM = 8           # malformed stream (bad distance/copy/transform)
 
 _DICT_WORDS = None
@@ -98,9 +101,24 @@ def _replicate(flat: np.ndarray, k: int) -> np.ndarray:
 def _pad_table(table, chunks: int) -> np.ndarray:
     out = np.zeros(chunks * 128, dtype=np.int32)
     arr = np.asarray(table, np.int64)
-    n = min(arr.shape[0], out.shape[0])
-    out[:n] = arr[:n].astype(np.int32)
+    assert arr.shape[0] <= out.shape[0], \
+        f"table {arr.shape[0]} entries > {chunks} chunks"
+    out[: arr.shape[0]] = arr.astype(np.int32)
     return out
+
+
+def _lcmch(nbt0: int) -> int:
+    """Literal-context-map chunks for nbt0 block types (64 ctx each)."""
+    return max(4, -(-nbt0 * 64 // 128))
+
+
+def _dcmch(nbt2: int) -> int:
+    """Distance-context-map chunks for nbt2 block types (4 ctx each)."""
+    return max(1, -(-nbt2 * 4 // 128))
+
+
+def _cm_chunks(nbt0: int, nbt2: int) -> int:
+    return _lcmch(nbt0) + _dcmch(nbt2) + 1   # + the modes chunk
 
 
 def _build_consts() -> np.ndarray:
@@ -221,6 +239,10 @@ class V3Batch:
     # per-slot real (non-padding) word count; lanes that consume past it
     # ran off their own truncated stream (see decode_batch_v3)
     n_words: np.ndarray | None = None
+    # history prefix: per-slot prior-output bytes (None/empty = fresh
+    # stream); HR = prefix rows in the output buffer (0 = no prefix)
+    HR: int = 0
+    hist: list | None = None
 
 
 @dataclass
@@ -263,6 +285,17 @@ def preflight_one_v3(data: bytes) -> _PreV3 | None:
     if (max(st.num_types) > 8 or len(st.lit_group) > 16
             or len(st.cmd_group) > 8 or len(st.dist_group) > 8):
         return None
+    pad = (-len(data)) % 4 + 12
+    words = np.frombuffer(bytes(data) + b"\x00" * pad, dtype="<u4")
+    return _PreV3(
+        words=words, cmd_start_bit=br.bitpos, mlen=mlen,
+        maxbw=(1 << wbits) - 16, st=st, sig=_sig_of(st),
+    )
+
+
+def _sig_of(st) -> bytes:
+    """Complete table signature of a metablock's entropy state (streams
+    with equal signatures share one kernel group's VMEM tables)."""
     sig_parts = [
         bytes([st.npostfix]), st.ndirect.to_bytes(2, "little"),
         np.asarray(st.num_types, np.int64).tobytes(),
@@ -279,29 +312,39 @@ def preflight_one_v3(data: bytes) -> _PreV3 | None:
             sig_parts.append(
                 b"-" if tab is None else np.asarray(tab, np.int64).tobytes()
             )
-    pad = (-len(data)) % 4 + 12
-    words = np.frombuffer(bytes(data) + b"\x00" * pad, dtype="<u4")
-    return _PreV3(
-        words=words, cmd_start_bit=br.bitpos, mlen=mlen,
-        maxbw=(1 << wbits) - 16, st=st, sig=b"".join(sig_parts),
-    )
+    return b"".join(sig_parts)
 
 
-def preflight_v3(streams: list[bytes], max_groups: int = 4,
-                 D: int = 64) -> V3Batch | None:
-    """Bin full-format streams by complete table signature into kernel
-    groups; None when ineligible (no streams, too many groups)."""
-    if not streams:
+@dataclass
+class _EntryV3:
+    """One (stream, metablock) unit of device work: the metablock's
+    entropy state plus the continuation context (prior output = history,
+    distance ring, last two bytes) the kernel resumes from."""
+
+    idx: int                  # caller's stream index
+    st: object                # _MetablockState (tables for THIS metablock)
+    words: np.ndarray         # whole stream as u32 words (padded)
+    bitpos: int               # absolute bit where commands start
+    mlen: int
+    maxbw: int
+    sig: bytes
+    pos0: int = 0             # total output bytes before this metablock
+    p1: int = 0
+    p2: int = 0
+    rings: tuple = (4, 11, 15, 16)
+    hist: bytes = b""
+
+
+def assemble_v3(entries: list, max_groups: int = 4,
+                D: int = 64) -> V3Batch | None:
+    """Bin device-work entries by (table signature, window) into kernel
+    groups; None when over the group budget."""
+    if not entries:
         return None
-    pres = []
-    for s in streams:
-        p = preflight_one_v3(s)
-        if p is None:
-            return None
-        pres.append(p)
     bins: dict[bytes, list[int]] = {}
-    for i, p in enumerate(pres):
-        bins.setdefault(p.sig, []).append(i)
+    for i, e in enumerate(entries):
+        key = e.sig + e.maxbw.to_bytes(4, "little")
+        bins.setdefault(key, []).append(i)
     n_groups = sum(-(-len(v) // NSTREAM) for v in bins.values())
     if n_groups > max_groups:
         return None
@@ -314,13 +357,20 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
     mlens = np.zeros(G * NSTREAM, np.int64)
     n_words = np.zeros(G * NSTREAM, np.int32)
     blen_init = np.zeros((3, G * NSTREAM), np.int32)
+    extras = np.zeros((7, G * NSTREAM), np.int32)   # pos0,p1,p2,r0..r3
+    extras[3] = 4
+    extras[4] = 11
+    extras[5] = 15
+    extras[6] = 16
+    hists: list[bytes] = [b""] * (G * NSTREAM)
     perm = np.full(G * NSTREAM, -1, np.int64)
     rebased = []
     slot_base = 0
-    for sig, idxs in bins.items():
-        idxs.sort(key=lambda i: pres[i].mlen / max(1, len(streams[i])))
-        rep = pres[idxs[0]].st
-        maxbw = pres[idxs[0]].maxbw
+    for key, idxs in bins.items():
+        idxs.sort(key=lambda i: entries[i].mlen
+                  / max(1, 4 * entries[i].words.shape[0]))
+        rep = entries[idxs[0]].st
+        maxbw = entries[idxs[0]].maxbw
         for off in range(0, len(idxs), NSTREAM):
             part = idxs[off : off + NSTREAM]
             configs.append(GroupCfg(
@@ -343,27 +393,36 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
             bsw = [_pad_table(rep.type_tables[c] or [], BTCH) for c in range(3)]
             bsw += [_pad_table(rep.len_tables[c] or [], BLCH) for c in range(3)]
             bsw_parts.append(np.concatenate(bsw))
-            cm = np.zeros(CMCH * 128, np.int64)
+            lcm = _lcmch(rep.num_types[0])
+            dcm = _dcmch(rep.num_types[2])
+            cm = np.zeros((lcm + dcm + 1) * 128, np.int64)
             cm[: len(rep.cmap)] = rep.cmap
-            cm[512 : 512 + len(rep.dist_cmap)] = rep.dist_cmap
+            cm[lcm * 128 : lcm * 128 + len(rep.dist_cmap)] = rep.dist_cmap
             for bt, mode in enumerate(rep.context_modes):
-                cm[640 + bt] = mode << 9
-            cmap_parts.append(_pad_table(cm, CMCH))
+                cm[(lcm + dcm) * 128 + bt] = mode << 9
+            cmap_parts.append(_pad_table(cm, lcm + dcm + 1))
             dxv = (np.asarray(rep.dist_extra[: 5 * 128], np.int64) << 26) | (
                 np.asarray(rep.dist_offset[: 5 * 128], np.int64)
             )
             dx_parts.append(_pad_table(dxv, 5))
             for j, i in enumerate(part):
-                p = pres[i]
+                e = entries[i]
                 slot = slot_base + j
-                w0 = p.cmd_start_bit >> 5
-                rebased.append((slot, p.words[w0:]))
-                start_bits[slot] = p.cmd_start_bit & 31
-                mlens[slot] = p.mlen
-                n_words[slot] = p.words.shape[0] - w0
+                w0 = e.bitpos >> 5
+                rebased.append((slot, e.words[w0:]))
+                start_bits[slot] = e.bitpos & 31
+                mlens[slot] = e.mlen
+                n_words[slot] = e.words.shape[0] - w0
+                ebl = e.st.block_len
                 for c in range(3):
-                    blen_init[c, slot] = min(rep.block_len[c], 1 << 28)
-                perm[slot] = i
+                    blen_init[c, slot] = min(ebl[c], 1 << 28)
+                extras[0, slot] = min(e.pos0, 1 << 30)
+                extras[1, slot] = e.p1
+                extras[2, slot] = e.p2
+                for c in range(4):
+                    extras[3 + c, slot] = e.rings[c]
+                hists[slot] = e.hist
+                perm[slot] = e.idx
             slot_base += NSTREAM
 
     max_words = max(r.shape[0] for _, r in rebased)
@@ -373,13 +432,15 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
         g, rem = divmod(slot, NSTREAM)
         wt[: r.shape[0], g * SUB + rem // LANES, rem % LANES] = r
 
-    scal = np.zeros((G * 5 * SUB, LANES), np.int32)
+    scal = np.zeros((G * SCAL_ROWS * SUB, LANES), np.int32)
     for g in range(G):
         sl = slice(g * NSTREAM, (g + 1) * NSTREAM)
         rows = [start_bits[sl], mlens[sl].astype(np.int32),
                 blen_init[0, sl], blen_init[1, sl], blen_init[2, sl]]
+        rows += [extras[r, sl] for r in range(7)]
         for r_i, row in enumerate(rows):
-            scal[(g * 5 + r_i) * SUB : (g * 5 + r_i + 1) * SUB, :] = (
+            scal[(g * SCAL_ROWS + r_i) * SUB :
+                 (g * SCAL_ROWS + r_i + 1) * SUB, :] = (
                 row.reshape(SUB, LANES)
             )
 
@@ -388,15 +449,40 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
             [_replicate(p, p.shape[0] // 128) for p in parts]
         )
 
+    max_hist = max((len(h) for h in hists), default=0)
+    HR = ((max_hist + 3) // 4 + 7) // 8 * 8 if max_hist else 0
+
     return V3Batch(
         wt=wt,
         lit_t=stack(lit_parts), cmd_t=stack(cmd_parts),
         dist_t=stack(dist_parts), bsw_t=stack(bsw_parts),
         cmap_t=stack(cmap_parts), dx_t=stack(dx_parts),
-        scal=scal, mlens=mlens, n_streams=len(streams),
+        scal=scal, mlens=mlens, n_streams=len(entries),
         configs=tuple(configs), Wpad=Wpad, groups=G, perm=perm,
-        n_words=n_words,
+        n_words=n_words, HR=HR, hist=hists if HR else None,
     )
+
+
+def preflight_v3(streams: list[bytes], max_groups: int = 4,
+                 D: int = 64) -> V3Batch | None:
+    """Bin full-format single-metablock streams by complete table
+    signature into kernel groups; None when ineligible (no streams, a
+    device-ineligible stream shape, or too many groups)."""
+    if not streams:
+        return None
+    entries = []
+    for i, s in enumerate(streams):
+        p = preflight_one_v3(s)
+        if p is None:
+            return None
+        entries.append(_EntryV3(
+            idx=i, st=p.st, words=p.words, bitpos=p.cmd_start_bit,
+            mlen=p.mlen, maxbw=p.maxbw, sig=p.sig,
+        ))
+    batch = assemble_v3(entries, max_groups=max_groups, D=D)
+    if batch is not None:
+        batch.n_streams = len(streams)
+    return batch
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +490,7 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
 # ---------------------------------------------------------------------------
 
 def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
-           row_budget: int, use_dict: bool, interpret: bool):
+           row_budget: int, use_dict: bool, interpret: bool, HR: int = 0):
     if not interpret:
         from ..utils.interpret_gate import assert_validated
         assert_validated(__file__)
@@ -417,7 +503,11 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
     G = len(configs)
     H = V * 4
     HALF = D // 2
-    assert V % FLUSH == 0 and n_out_rows % FLUSH == 0
+    # per-group stride in the output buffer: HR history rows (pre-filled
+    # with each lane's prior output, right-aligned at row HR) + the run's
+    # output rows + the status tail
+    OSTRIDE = HR + n_out_rows + TAIL
+    assert V % FLUSH == 0 and n_out_rows % FLUSH == 0 and HR % 8 == 0
 
     # per-group chunk offsets into the stacked table inputs
     def _offs(per):
@@ -430,7 +520,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
     off_cmd = _offs(lambda c: c.NC * CCH)
     off_dist = _offs(lambda c: c.ND * DCH)
     off_bsw = [g * (3 * BTCH + 3 * BLCH) for g in range(G + 1)]
-    off_cmap = [g * CMCH for g in range(G + 1)]
+    off_cmap = _offs(lambda c: _cm_chunks(c.NBT0, c.NBT2))
     off_dx = [g * 5 for g in range(G + 1)]
 
     _, dict_k = _dict_chunks()
@@ -438,7 +528,8 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
 
     def kernel(wt_ref, lit_ref, cmd_ref, dist_ref, bsw_ref, cmap_ref,
                dx_ref, consts_ref, lut_ref, dict_ref, tfm_ref, tfs_ref,
-               scal_ref, out_ref, win, ring, sem_in, sem_out):
+               scal_ref, out_ref, win, ring, farbuf, sem_in, sem_out,
+               sem_far):
         zeros_u = jnp.zeros(S, jnp.uint32)
         zeros_i = jnp.zeros(S, jnp.int32)
 
@@ -484,9 +575,20 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             idx2 = root_idx + (e0 & 0xFFFF) + (
                 (v15 & sub_mask) >> 8
             ).astype(jnp.int32)
+            # subtable entries start at index 256 (after the 8-bit root),
+            # i.e. in chunks >= 2 of the owning tree: the level-2 select
+            # chain skips every tree's two root chunks
             idx2 = jnp.where(need_sub, idx2, 0)
-            e1 = chunk_lookup(tab_ref, goff, n_chunks,
-                              base + (idx2 >> 7), idx2 & 127)
+            e1 = jnp.zeros(S, jnp.int32)
+            c2 = base + (idx2 >> 7)
+            lo2 = idx2 & 127
+            for t in range(n_chunks // tree_chunks):
+                for c in range(2, tree_chunks):
+                    cc = goff + t * tree_chunks + c
+                    got = jnp.take_along_axis(
+                        tab_ref[cc * SUB:(cc + 1) * SUB, :], lo2, axis=1
+                    )
+                    e1 = jnp.where(c2 == cc, got, e1)
             sym = jnp.where(need_sub, e1 & 0xFFFF, e0 & 0xFFFF)
             nb = jnp.where(need_sub, (e1 >> 16) + 8, bits0)
             return sym, nb
@@ -548,11 +650,17 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             return a0, a1
 
         def make_state(g):
-            mlen = scal_ref[(g * 5 + 1) * SUB:(g * 5 + 2) * SUB, :]
+            def srow(r):
+                return scal_ref[(g * SCAL_ROWS + r) * SUB:
+                                (g * SCAL_ROWS + r + 1) * SUB, :]
+
+            mlen = srow(1)
+            cfg_g = configs[g]
+            moff = off_cmap[g] + _lcmch(cfg_g.NBT0) + _dcmch(cfg_g.NBT2)
             # initial clo for btype 0
             clo0 = jnp.broadcast_to(
                 jnp.take_along_axis(
-                    cmap_ref[(off_cmap[g] + 5) * SUB:(off_cmap[g] + 5) * SUB + SUB, :],
+                    cmap_ref[moff * SUB: (moff + 1) * SUB, :],
                     jnp.zeros(S, jnp.int32), axis=1,
                 ), S,
             )
@@ -564,16 +672,13 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
                 lit_rem=zeros_i, copy_len=zeros_i,
                 ins_code=zeros_i, cp_code=zeros_i, implicit=zeros_i,
                 dcode=zeros_i,
-                blen0=scal_ref[(g * 5 + 2) * SUB:(g * 5 + 3) * SUB, :],
-                blen1=scal_ref[(g * 5 + 3) * SUB:(g * 5 + 4) * SUB, :],
-                blen2=scal_ref[(g * 5 + 4) * SUB:(g * 5 + 5) * SUB, :],
+                blen0=srow(2), blen1=srow(3), blen2=srow(4),
                 bt0=zeros_i, bt0p=jnp.full(S, 1, jnp.int32),
                 bt1=zeros_i, bt1p=jnp.full(S, 1, jnp.int32),
                 bt2=zeros_i, bt2p=jnp.full(S, 1, jnp.int32),
                 clo=clo0,
-                p1=zeros_i, p2=zeros_i,
-                r0=jnp.full(S, 4, jnp.int32), r1=jnp.full(S, 11, jnp.int32),
-                r2=jnp.full(S, 15, jnp.int32), r3=jnp.full(S, 16, jnp.int32),
+                p1=srow(6), p2=srow(7),
+                r0=srow(8), r1=srow(9), r2=srow(10), r3=srow(11),
                 bsw_cat=zeros_i, bsw_code=zeros_i,
                 fifo_lo=zeros_u, fifo_hi=zeros_u, cnt=zeros_i, qp=zeros_i,
                 r_lane=zeros_i, cp_dist=zeros_i, cp_rem=zeros_i,
@@ -613,17 +718,38 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             st["p2"] = jnp.where(upd, prev, st["p2"])
             st["p1"] = jnp.where(upd, last, st["p1"])
 
-        def drain(st, gbase):
+        def stag_read2(qrel, g):
+            """Rows (qrel, qrel+1) of group g's far-fetch staging window."""
+            a0 = zeros_u
+            a1 = zeros_u
+            for v in range(FW):
+                rv = farbuf[g * FW + v]
+                a0 = jnp.where(qrel == v, rv, a0)
+                a1 = jnp.where(qrel == v - 1, rv, a1)
+            return a0, a1
+
+        def drain(st, gbase, g, stag_base):
             st = dict(st)
-            can = (st["cp_rem"] > 0) & (st["cnt"] <= 4) & (st["err"] == 0)
-            far = can & (st["cp_dist"] > H - 16)
-            st["err"] = st["err"] | jnp.where(far, ERR_FAR_DIST, 0)
-            can = can & ~far
+            can0 = (st["cp_rem"] > 0) & (st["cnt"] <= 4) & (st["err"] == 0)
+            src_base = st["qp"] - st["cp_dist"]
+            # far source: beyond the VMEM ring's retained window, or in the
+            # pre-run history prefix (src_base < 0).  Both live in the
+            # output buffer's absolute row space [0, HR + flush_base): any
+            # row older than r_lane - V + 8 is provably flushed (the emit
+            # frontier r_lane <= flush_base + V - FLUSH), so the staging
+            # window DMA'd back from out_ref serves them.
+            is_far = can0 & ((st["cp_dist"] > H - 16) | (src_base < 0))
+            arow = (4 * HR + src_base) >> 2
+            qrel = arow - stag_base
+            in_stag = is_far & (qrel >= 0) & (qrel <= FW - 2)
+            can = can0 & (~is_far | in_stag)
             e = jnp.where(can, jnp.minimum(st["cp_rem"], 4), 0)
 
-            src_base = st["qp"] - st["cp_dist"]
             w0 = jnp.maximum(src_base, 0) >> 2
             f0, f1 = ring_read2(w0, gbase)
+            s0, s1 = stag_read2(jnp.where(in_stag, qrel, -1), g)
+            f0 = jnp.where(in_stag, s0, f0)
+            f1 = jnp.where(in_stag, s1, f1)
             fsh = ((src_base & 3) * 8).astype(jnp.uint32)
             fw = (f0 >> fsh) | jnp.where(
                 fsh == 0, jnp.uint32(0), f1 << ((32 - fsh) & 31)
@@ -772,7 +898,8 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             st[f"bt{cat}p"] = jnp.where(m, bt_cur, st[f"bt{cat}p"])
             st[f"bt{cat}"] = jnp.where(m, bt, st[f"bt{cat}"])
             if cat == 0:
-                clo = gather1(cmap_ref, off_cmap[g] + 5, bt)
+                moff = off_cmap[g] + _lcmch(cfg.NBT0) + _dcmch(cfg.NBT2)
+                clo = gather1(cmap_ref, moff, bt)
                 st["clo"] = jnp.where(m, clo, st["clo"])
             pack = gather1(consts_ref, 1, jnp.clip(lsym, 0, 25))
             nbx = pack >> 20
@@ -791,7 +918,8 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             st["phase"] = jnp.where(spill, BSW2, st["phase"])
             return st, q, m
 
-        def row_step(st, g, cfg, start_bit, mlen, filled, flush_base):
+        def row_step(st, g, cfg, start_bit, mlen, pos0, filled,
+                     flush_base, stag_base):
             gbase = g * V
             st = dict(st)
             live = st["phase"] < DONE
@@ -823,7 +951,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             st["widx"] = st["widx"] + jnp.where(need, 1, 0)
 
             # ---- byte-production side (always runs) ----
-            st = drain(st, gbase)
+            st = drain(st, gbase, g, stag_base)
             if use_dict:
                 st = dict_byte(st)
 
@@ -960,7 +1088,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
                 else:
                     cidx = (st["bt0"] << 6) + lut2(st["clo"], p1, p2)
                 return chunk_lookup(
-                    cmap_ref, off_cmap[g], 4,
+                    cmap_ref, off_cmap[g], _lcmch(cfg.NBT0),
                     off_cmap[g] + (cidx >> 7), cidx & 127,
                 )
 
@@ -1010,8 +1138,11 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             m_read = m & ~is_imp
             st["blen2"] = st["blen2"] - jnp.where(m_read, 1, 0)
             dctx = jnp.minimum(st["copy_len"], 5) - 2
-            tree_d = gather1(
-                cmap_ref, off_cmap[g] + 4, (st["bt2"] << 2) + dctx
+            didx = (st["bt2"] << 2) + dctx
+            dbase = off_cmap[g] + _lcmch(cfg.NBT0)
+            tree_d = chunk_lookup(
+                cmap_ref, dbase, _dcmch(cfg.NBT2),
+                dbase + (didx >> 7), didx & 127,
             )
             v15 = pk(15)
             sym, nb = read_symbol(
@@ -1067,7 +1198,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             m_fin = m_fin | m2
 
             # ---- finalize distance: regular copy or dictionary ----
-            pos = mlen - st["mbl"]
+            pos = pos0 + (mlen - st["mbl"])
             max_dist = jnp.minimum(pos, cfg.maxbw)
             is_dict_ref = m_fin & (distance > max_dist)
             m_reg = m_fin & ~is_dict_ref
@@ -1170,12 +1301,20 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
 
         # ---- main loop over all groups ----
         inits = [make_state(g) for g in range(G)]
+        for st0 in inits:
+            st0["stagb"] = jnp.int32(-(1 << 29))
         order = sorted(inits[0].keys())
         start_bits = [
-            scal_ref[(g * 5 + 0) * SUB:(g * 5 + 1) * SUB, :] for g in range(G)
+            scal_ref[(g * SCAL_ROWS + 0) * SUB:(g * SCAL_ROWS + 1) * SUB, :]
+            for g in range(G)
         ]
         mlens_g = [
-            scal_ref[(g * 5 + 1) * SUB:(g * 5 + 2) * SUB, :] for g in range(G)
+            scal_ref[(g * SCAL_ROWS + 1) * SUB:(g * SCAL_ROWS + 2) * SUB, :]
+            for g in range(G)
+        ]
+        pos0_g = [
+            scal_ref[(g * SCAL_ROWS + 5) * SUB:(g * SCAL_ROWS + 6) * SUB, :]
+            for g in range(G)
         ]
 
         def to_tuple(sts):
@@ -1220,9 +1359,41 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             min_r = jnp.int32(1 << 30)
             prog_new = jnp.int32(0)
             for g in range(G):
+                st = sts[g]
+                # ---- far-fetch staging window maintenance ----
+                # Serve the LOWEST pending far source row first; the window
+                # then sticks until that lane's copy completes or climbs
+                # out, so coherent batches share one DMA across many rows.
+                can0 = (st["cp_rem"] > 0) & (st["err"] == 0)
+                src_base = st["qp"] - st["cp_dist"]
+                is_far = can0 & (
+                    (st["cp_dist"] > H - 16) | (src_base < 0)
+                )
+                arow = (4 * HR + src_base) >> 2
+                stagb = st["stagb"]
+                min_arow = jnp.min(
+                    jnp.where(is_far, arow, jnp.int32(1 << 30))
+                )
+                need_f = jnp.any(is_far) & (
+                    (min_arow < stagb) | (min_arow > stagb + FW - 2)
+                )
+                new_base = jnp.clip(min_arow, 0, OSTRIDE - FW)
+
+                @pl.when(need_f)
+                def _(g=g, new_base=new_base):
+                    dma = pltpu.make_async_copy(
+                        out_ref.at[pl.ds(g * OSTRIDE + new_base, FW)],
+                        farbuf.at[pl.ds(g * FW, FW)],
+                        sem_far,
+                    )
+                    dma.start()
+                    dma.wait()
+
+                st = dict(st)
+                st["stagb"] = jnp.where(need_f, new_base, stagb)
                 st = row_step(
-                    sts[g], g, configs[g], start_bits[g], mlens_g[g],
-                    filled, flush_base,
+                    st, g, configs[g], start_bits[g], mlens_g[g],
+                    pos0_g[g], filled, flush_base, st["stagb"],
                 )
                 st = emit(st, flush_base, mlens_g[g], g * V)
                 live = (st["err"] == 0) & (4 * st["r_lane"] < mlens_g[g])
@@ -1241,7 +1412,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
                             g * V + jax.lax.rem(flush_base, V), FLUSH
                         )],
                         out_ref.at[pl.ds(
-                            g * (n_out_rows + 8) + flush_base, FLUSH
+                            g * OSTRIDE + HR + flush_base, FLUSH
                         )],
                         sem_out,
                     )
@@ -1293,7 +1464,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             for g in range(G):
                 dma = pltpu.make_async_copy(
                     ring.at[pl.ds(g * V + jax.lax.rem(fb, V), FLUSH)],
-                    out_ref.at[pl.ds(g * (n_out_rows + 8) + fb, FLUSH)],
+                    out_ref.at[pl.ds(g * OSTRIDE + HR + fb, FLUSH)],
                     sem_out,
                 )
                 dma.start()
@@ -1302,7 +1473,9 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
 
         jax.lax.fori_loop(0, n_left, fbody, flush_base)
 
-        # status tail per group (reuse ring rows 0..7 as staging)
+        # status tail per group (reuse ring rows 0..TAIL-1 as staging);
+        # avail + the distance ring let the host continue a stream at the
+        # next metablock header (bit position = 32*widx - avail)
         for g in range(G):
             st = sts[g]
             ring[g * V + 0] = st["err"].astype(jnp.uint32)
@@ -1310,36 +1483,68 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             ring[g * V + 2] = st["phase"].astype(jnp.uint32)
             ring[g * V + 3] = st["mbl"].astype(jnp.uint32)
             ring[g * V + 4] = st["widx"].astype(jnp.uint32)
-            for k in range(5, 8):
+            ring[g * V + 5] = st["avail"].astype(jnp.uint32)
+            ring[g * V + 6] = st["r0"].astype(jnp.uint32)
+            ring[g * V + 7] = st["r1"].astype(jnp.uint32)
+            ring[g * V + 8] = st["r2"].astype(jnp.uint32)
+            ring[g * V + 9] = st["r3"].astype(jnp.uint32)
+            for k in range(10, TAIL):
                 ring[g * V + k] = jnp.zeros(S, jnp.uint32)
             dma_tail = pltpu.make_async_copy(
-                ring.at[pl.ds(g * V, 8)],
-                out_ref.at[pl.ds(g * (n_out_rows + 8) + n_out_rows, 8)],
+                ring.at[pl.ds(g * V, TAIL)],
+                out_ref.at[pl.ds(g * OSTRIDE + HR + n_out_rows, TAIL)],
                 sem_out,
             )
             dma_tail.start()
             dma_tail.wait()
 
-    def runner(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts,
-               lut, dict_t, tfm, tfs, scal):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct(
-                (G * (n_out_rows + 8), SUB, LANES), jnp.uint32
-            ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((D, G * SUB, LANES), jnp.uint32),       # bit window
-                pltpu.VMEM((G * V, SUB, LANES), jnp.uint32),       # ring(s)
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=interpret,
-        )(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts, lut,
-          dict_t, tfm, tfs, scal)
+    out_sd = jax.ShapeDtypeStruct((G * OSTRIDE, SUB, LANES), jnp.uint32)
+    scratch = [
+        pltpu.VMEM((D, G * SUB, LANES), jnp.uint32),       # bit window
+        pltpu.VMEM((G * V, SUB, LANES), jnp.uint32),       # ring(s)
+        pltpu.VMEM((G * FW, SUB, LANES), jnp.uint32),      # far staging
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    if HR == 0:
+        def runner(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts,
+                   lut, dict_t, tfm, tfs, scal):
+            return pl.pallas_call(
+                kernel,
+                out_shape=out_sd,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                interpret=interpret,
+            )(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts, lut,
+              dict_t, tfm, tfs, scal)
+    else:
+        # history prefix: the output buffer arrives as input 13 with rows
+        # [g*OSTRIDE, g*OSTRIDE+HR) pre-filled (each lane's prior output,
+        # right-aligned); aliasing makes the kernel's out_ref that same
+        # buffer, and the kernel never writes the prefix rows.
+        def kernel_h(wt_ref, *rest):
+            kernel(wt_ref, *(rest[:12] + rest[13:]))
+
+        def runner(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts,
+                   lut, dict_t, tfm, tfs, scal, obuf):
+            return pl.pallas_call(
+                kernel_h,
+                out_shape=out_sd,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+                + [pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                input_output_aliases={13: 0},
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                interpret=interpret,
+            )(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts, lut,
+              dict_t, tfm, tfs, scal, obuf)
 
     return runner
 
@@ -1347,14 +1552,15 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
 @functools.lru_cache(maxsize=8)
 def get_kernel_v3(Wpad: int, D: int, configs: tuple, V: int,
                   n_out_rows: int, row_budget: int | None = None,
-                  use_dict: bool = True, interpret: bool = False):
+                  use_dict: bool = True, interpret: bool = False,
+                  HR: int = 0):
     import jax
 
     if row_budget is None:
         row_budget = 4 * n_out_rows + 4096
     return jax.jit(
         _build(Wpad, D, configs, V, n_out_rows, row_budget, use_dict,
-               interpret)
+               interpret, HR)
     )
 
 
@@ -1376,17 +1582,32 @@ def staged_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
     V = H // 4
     max_mlen = int(batch.mlens.max()) if batch.mlens.size else 0
     n_out_rows = max(FLUSH, _round_up(-(-max_mlen // 4), FLUSH))
+    HR = batch.HR
     dict_t, _ = _dict_chunks()
     tfm, tfs, _ = _transform_tables()
     kernel = get_kernel_v3(
         batch.Wpad, D, batch.configs, V, n_out_rows, row_budget,
-        use_dict, interpret,
+        use_dict, interpret, HR,
     )
     args = [jnp.asarray(x) for x in (
         batch.wt, batch.lit_t, batch.cmd_t, batch.dist_t, batch.bsw_t,
         batch.cmap_t, batch.dx_t, _build_consts(), _context_lut_chunks(),
         dict_t, tfm, tfs, batch.scal,
     )]
+    if HR > 0:
+        # output buffer with each lane's prior output right-aligned at
+        # row HR (end at byte 4*HR), zero left-padding for alignment
+        ostride = HR + n_out_rows + TAIL
+        obuf = np.zeros((batch.groups * ostride, SUB, LANES), np.uint32)
+        for slot, hb in enumerate(batch.hist or ()):
+            if not hb:
+                continue
+            g, rem = divmod(slot, NSTREAM)
+            pad = (-len(hb)) % 4
+            arr = np.frombuffer(b"\x00" * pad + bytes(hb), "<u4")
+            r0 = g * ostride + HR - arr.shape[0]
+            obuf[r0 : g * ostride + HR, rem // LANES, rem % LANES] = arr
+        args.append(jnp.asarray(obuf))
     return kernel, args, n_out_rows
 
 
@@ -1401,10 +1622,10 @@ def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
         row_budget=row_budget,
     )
     out = kernel(*args)
-    return (
-        np.asarray(out).reshape(batch.groups, n_out_rows + 8, SUB, LANES),
-        n_out_rows,
+    full = np.asarray(out).reshape(
+        batch.groups, batch.HR + n_out_rows + TAIL, SUB, LANES
     )
+    return full[:, batch.HR :], n_out_rows
 
 
 def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
@@ -1425,7 +1646,7 @@ def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
     out, n_out_rows = run_batch_v3(
         batch, H=H, interpret=interpret, use_dict=use_dict
     )
-    errs = out[:, n_out_rows].reshape(-1)
+    errs = out[:, n_out_rows].reshape(-1)  # status row 0 (post-HR slice)
     # truncated-stream guard (v2's lane_overran analog): the batch word
     # table is zero-padded, so a truncated stream can reach DONE decoding
     # zero bits as valid-looking symbols; a lane that consumed words past
@@ -1456,3 +1677,184 @@ def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
             results[i] = bytes(raw[slot, : batch.mlens[slot]])
     _note_fallbacks(batch.n_streams, n_fallback)
     return results  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# full multi-metablock device decode
+# ---------------------------------------------------------------------------
+
+# caps for the full path (VMEM + per-symbol select-chain budget at G=1);
+# enc-ttf (80 lit trees / 61 types) and noto-tc mb1 (142 trees / 72 types)
+# fit.  Reference handles 256 types (engine.ts:679-726) - streams beyond
+# these caps host-fallback.
+_FULL_NL = 160
+_FULL_NC = 32
+_FULL_ND = 32
+_FULL_NBT = 128
+
+
+def _caps_full_ok(st) -> bool:
+    return (max(st.num_types) <= _FULL_NBT
+            and len(st.lit_group) <= _FULL_NL
+            and len(st.cmd_group) <= _FULL_NC
+            and len(st.dist_group) <= _FULL_ND)
+
+
+def decode_batch_v3_full(streams: list[bytes], *, H: int = DEFAULT_H3,
+                         interpret: bool = False, use_dict: bool = True,
+                         max_groups: int = 4) -> list[bytes]:
+    """Device decode of arbitrary (multi-metablock) Brotli streams.
+
+    The host walks each stream's metablock headers (reference
+    engine.ts:631-678 semantics): metadata blocks are skipped and
+    uncompressed blocks copied host-side (engine.ts:838-866), while every
+    compressed metablock becomes a device-work entry carrying its
+    continuation context (full prior output as the HBM history prefix,
+    distance ring, last two bytes).  Entries across streams are binned by
+    table signature and decoded in rounds; the kernel's status tail
+    reports the exact end bit position (32*widx - avail) so the host can
+    parse the next header.  Far distances - beyond the VMEM ring, or into
+    prior metablocks - resolve through the far-fetch staging window, so
+    lgwin-22 reference streams (enc-ttf class) decode fully on device.
+    Streams beyond the _FULL_* caps, or lanes that flag errors, fall back
+    to the host decoder."""
+    from ..decode import decode as host_decode
+    from ..decode.bitreader import BitReader, BrotliError
+    from ..decode.engine import (
+        _MetablockState,
+        _decode_window_bits,
+        _read_metablock_length,
+    )
+    from .pallas_decode2 import _note_fallbacks
+
+    n = len(streams)
+    outs: list[bytearray] = [bytearray() for _ in range(n)]
+    bitpos = [0] * n
+    rings: list[tuple] = [(4, 11, 15, 16)] * n
+    maxbw = [0] * n
+    live = [True] * n
+    failed = [False] * n
+    words_l: list = [None] * n
+
+    for i, sdat in enumerate(streams):
+        try:
+            br = BitReader(bytes(sdat))
+            wbits, _ = _decode_window_bits(br, large_window_enabled=False)
+            maxbw[i] = (1 << wbits) - 16
+            bitpos[i] = br.bitpos
+            pad = (-len(sdat)) % 4 + 12
+            words_l[i] = np.frombuffer(bytes(sdat) + b"\x00" * pad,
+                                       dtype="<u4")
+        except BrotliError:
+            failed[i] = True
+            live[i] = False
+
+    while True:
+        entries: list[_EntryV3] = []
+        is_last_round: dict[int, bool] = {}
+        for i, sdat in enumerate(streams):
+            if not live[i]:
+                continue
+            br = BitReader(bytes(sdat))
+            br.bitpos = bitpos[i]
+            try:
+                while True:
+                    br.check_health()
+                    input_end = bool(br.read(1))
+                    if input_end and br.read(1):
+                        live[i] = False
+                        break
+                    mbl, is_unc, is_meta = _read_metablock_length(
+                        br, input_end
+                    )
+                    if is_meta:
+                        br.jump_to_byte_boundary()
+                        br.copy_bytes(mbl)
+                        if input_end:
+                            live[i] = False
+                            break
+                        continue
+                    if mbl == 0:
+                        if input_end:
+                            live[i] = False
+                            break
+                        continue
+                    if is_unc:
+                        br.jump_to_byte_boundary()
+                        outs[i] += br.copy_bytes(mbl)
+                        if input_end:
+                            live[i] = False
+                            break
+                        continue
+                    st = _MetablockState(br, large_window=False)
+                    if not _caps_full_ok(st):
+                        raise BrotliError(-99, "beyond device caps")
+                    h = bytes(outs[i])
+                    entries.append(_EntryV3(
+                        idx=i, st=st, words=words_l[i], bitpos=br.bitpos,
+                        mlen=mbl, maxbw=maxbw[i], sig=_sig_of(st),
+                        pos0=len(h),
+                        p1=h[-1] if h else 0,
+                        p2=h[-2] if len(h) >= 2 else 0,
+                        rings=rings[i], hist=h,
+                    ))
+                    is_last_round[i] = input_end
+                    break
+            except BrotliError:
+                failed[i] = True
+                live[i] = False
+        if not entries:
+            break
+
+        batch = assemble_v3(entries, max_groups=max_groups)
+        if batch is None:
+            for e in entries:
+                failed[e.idx] = True
+                live[e.idx] = False
+            break
+        out, n_out_rows = run_batch_v3(
+            batch, H=H, interpret=interpret, use_dict=use_dict
+        )
+        errs = out[:, n_out_rows].reshape(-1).astype(np.int64)
+        widx_r = out[:, n_out_rows + 4].reshape(-1).astype(np.int64)
+        avail_r = out[:, n_out_rows + 5].reshape(-1).astype(np.int64)
+        ring_r = [out[:, n_out_rows + 6 + k].reshape(-1).astype(np.int64)
+                  for k in range(4)]
+        if batch.n_words is not None:
+            errs = np.where(
+                widx_r > batch.n_words.astype(np.int64) + 4,
+                errs | 0x100, errs,
+            )
+        rows = out[:, :n_out_rows]
+        by_stream = np.transpose(rows, (0, 2, 3, 1)).reshape(
+            batch.groups * NSTREAM, -1
+        )
+        raw = np.ascontiguousarray(by_stream).astype("<u4").view(np.uint8)
+        raw = raw.reshape(batch.groups * NSTREAM, -1)
+        ent_by_idx = {e.idx: e for e in entries}
+        for slot in range(batch.groups * NSTREAM):
+            i = int(batch.perm[slot])
+            if i < 0:
+                continue
+            e = ent_by_idx[i]
+            if errs[slot] != 0:
+                failed[i] = True
+                live[i] = False
+                continue
+            outs[i] += bytes(raw[slot, : e.mlen])
+            rings[i] = tuple(int(ring_r[k][slot]) for k in range(4))
+            if is_last_round.get(i, False):
+                live[i] = False
+            else:
+                bitpos[i] = (
+                    32 * (e.bitpos >> 5)
+                    + 32 * int(widx_r[slot]) - int(avail_r[slot])
+                )
+
+    n_fallback = sum(failed)
+    results = [
+        host_decode(streams[i]) if failed[i] else bytes(outs[i])
+        for i in range(n)
+    ]
+    _note_fallbacks(n, n_fallback)
+    return results

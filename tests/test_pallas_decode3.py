@@ -126,9 +126,11 @@ def test_binning_mixed_signatures():
     assert got == [host_decode(s) for s in streams]
 
 
-def test_far_distance_falls_back_not_corrupts():
-    """A stream whose history exceeds the ring flags ERR_FAR_DIST and
-    re-decodes on host: correct bytes, counted fallback."""
+def test_far_distance_decodes_via_hbm_fetch():
+    """Distances beyond the VMEM ring resolve through the far-fetch
+    staging window (flushed output rows DMA'd back from HBM) — no host
+    fallback, bit-exact (VERDICT r4 missing #1; reference ring realloc
+    engine.ts:608-630)."""
     alice = _vec("alice29.txt")
     data = alice[:3000]          # > H: far distances guaranteed at q11
     s = encode(data, quality=11)
@@ -137,7 +139,7 @@ def test_far_distance_falls_back_not_corrupts():
     before = fallback_stats()["lanes_fallback"]
     got = P3.decode_batch_v3([s], H=H, interpret=True)
     assert got == [data]
-    assert fallback_stats()["lanes_fallback"] >= before
+    assert fallback_stats()["lanes_fallback"] == before
 
 
 def test_v3_truncated_lane_flags_not_garbage():
@@ -217,3 +219,79 @@ def test_preflight_caps():
     assert P3.preflight_one_v3(big) is None
     got = P3.decode_batch_v3([big], H=H, interpret=True)
     assert got == [host_decode(big)]
+
+
+def test_preflight_caps_full_path():
+    """The full path's raised caps admit enc-ttf's 80-tree/61-type
+    metablock (device decode of the reference's headline fixture; the
+    kernel run itself is chip-scale, covered by bench.py)."""
+    from brotli_tpu.decode.bitreader import BitReader
+    from brotli_tpu.decode.engine import (
+        _MetablockState,
+        _decode_window_bits,
+        _read_metablock_length,
+    )
+
+    big = open("/root/reference/bench/fixtures/enc-ttf.br", "rb").read()
+    br = BitReader(big)
+    _decode_window_bits(br, False)
+    input_end = bool(br.read(1))
+    if input_end:
+        assert br.read(1) == 0     # not ISLASTEMPTY
+    mbl, is_unc, is_meta = _read_metablock_length(br, input_end)
+    assert not is_unc and not is_meta
+    st = _MetablockState(br, large_window=False)
+    assert len(st.lit_group) == 80 and max(st.num_types) == 61
+    assert P3._caps_full_ok(st), "enc-ttf must be device-eligible"
+
+
+def test_multimetablock_stream_on_device():
+    """A streaming-encoder stream (several compressed metablocks whose LZ
+    window crosses the boundaries) decodes fully on device: each round
+    carries the prior output as the HBM history prefix plus the distance
+    ring and p1/p2 from the status tail (reference metablock loop
+    engine.ts:631-678)."""
+    from brotli_tpu.encode.api import Encoder
+    from brotli_tpu.ops.pallas_decode2 import fallback_stats
+
+    data = _vec("alice29.txt")[:6144]
+    enc = Encoder(quality=5, lgwin=18)
+    stream = b""
+    for off in range(0, len(data), 1024):
+        stream += enc.update(data[off:off + 1024])
+    stream += enc.finish()
+    assert host_decode(stream) == data
+    before = fallback_stats()["lanes_fallback"]
+    got = P3.decode_batch_v3_full([stream], H=1024, interpret=True)
+    assert got[0] == data
+    assert fallback_stats()["lanes_fallback"] == before
+
+
+def test_full_path_google_vectors():
+    """Small Google-encoded vectors through the multi-metablock driver."""
+    from brotli_tpu.ops.pallas_decode2 import fallback_stats
+
+    names = ["10x10y", "64x", "ukkonooa", "monkey"]
+    streams = [_vec(n + ".compressed") for n in names]
+    exp = [_vec(n) for n in names]
+    before = fallback_stats()["lanes_fallback"]
+    got = P3.decode_batch_v3_full(streams, H=1024, interpret=True)
+    assert got == exp
+    assert fallback_stats()["lanes_fallback"] == before
+
+
+def test_full_path_metadata_and_uncompressed_blocks():
+    """Streams containing metadata splice blocks (parallel_encode's
+    byte-aligned fragment seams) and uncompressed metablocks decode
+    through the full driver (VERDICT r4 missing #5; reference
+    engine.ts:838-866)."""
+    from brotli_tpu.parallel.shard import parallel_encode
+
+    data = _vec("alice29.txt")[:4096]
+    spliced = parallel_encode(data, shard_size=1024, quality=5)
+    got = P3.decode_batch_v3_full([spliced], H=1024, interpret=True)
+    assert got[0] == data
+
+    unc = encode(data, quality=0)   # uncompressed metablocks only
+    got0 = P3.decode_batch_v3_full([unc], H=1024, interpret=True)
+    assert got0[0] == data
