@@ -66,6 +66,25 @@ def get_local_mesh(axis_name: str = "streams"):
     return Mesh(np.array(jax.local_devices()), (axis_name,))
 
 
+def _barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Rendezvous through the coordination service before entering a
+    Gloo collective: on a 1-core simulation host, worker compute skew can
+    exceed Gloo's ~30 s key-exchange timeout, so the (long-timeout)
+    barrier absorbs the skew and the collective itself starts aligned.
+    Best-effort: multi-host TPU pods don't need it."""
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception:  # noqa: BLE001 - internal API; barrier is an aid
+        pass
+
+
+_BARRIER_SEQ = [0]
+
+
 def _allgather_bytes(rows: list[bytes | None], n_total: int):
     """Ordered cross-host reassembly of per-index byte strings.
 
@@ -77,6 +96,8 @@ def _allgather_bytes(rows: list[bytes | None], n_total: int):
     import jax
     from jax.experimental import multihost_utils
 
+    _BARRIER_SEQ[0] += 1
+    _barrier(f"allgather_bytes_{_BARRIER_SEQ[0]}")
     lens = np.zeros(n_total, np.int64)
     for i, r in enumerate(rows):
         if r is not None:
@@ -97,10 +118,12 @@ def _allgather_bytes(rows: list[bytes | None], n_total: int):
 
 
 def encode_multihost(data: bytes, *, chunk_size: int = 1024,
-                     interpret: bool = False, **knobs) -> list[bytes]:
+                     interpret: bool = False, piece_streams: int | None = None,
+                     backend: str = "device", **knobs) -> list[bytes]:
     """Encode `data` across all hosts: host-level round-robin over
-    per-host batches (DCN analog), per-host device encode over the local
-    mesh (ICI analog), ordered cross-host gather of the streams."""
+    per-host pieces (DCN analog), per-piece encode on the owning host
+    (device mesh, or the host encoder for light simulations), ordered
+    cross-host gather of the streams."""
     import jax
 
     from ..ops.device_encode import B_LANES
@@ -108,7 +131,7 @@ def encode_multihost(data: bytes, *, chunk_size: int = 1024,
 
     pid = jax.process_index()
     nproc = jax.process_count()
-    batch_bytes = B_LANES * chunk_size
+    batch_bytes = (piece_streams or B_LANES) * chunk_size
     pieces = [data[off: off + batch_bytes]
               for off in range(0, len(data), batch_bytes)]
     # chunk count per piece decides the output index space
@@ -117,10 +140,15 @@ def encode_multihost(data: bytes, *, chunk_size: int = 1024,
     results: list[bytes | None] = [None] * int(bases[-1])
     mesh = get_local_mesh()
     for bi in range(pid, len(pieces), nproc):
-        streams = encode_batches_multichip(
-            pieces[bi], mesh, chunk_size=chunk_size, interpret=interpret,
-            **knobs,
-        )
+        if backend == "host":
+            from ..encode.sharded import encode_sharded
+
+            streams = encode_sharded(pieces[bi], chunk_size=chunk_size)
+        else:
+            streams = encode_batches_multichip(
+                pieces[bi], mesh, chunk_size=chunk_size,
+                interpret=interpret, **knobs,
+            )
         for k, s in enumerate(streams):
             results[int(bases[bi]) + k] = s
     return _allgather_bytes(results, int(bases[-1]))
