@@ -490,7 +490,8 @@ def preflight_v3(streams: list[bytes], max_groups: int = 4,
 # ---------------------------------------------------------------------------
 
 def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
-           row_budget: int, use_dict: bool, interpret: bool, HR: int = 0):
+           row_budget: int, use_dict: bool, interpret: bool, HR: int = 0,
+           CD_T: int = 0):
     if not interpret:
         from ..utils.interpret_gate import assert_validated
         assert_validated(__file__)
@@ -526,10 +527,12 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
     _, dict_k = _dict_chunks()
     _, _, tf_k = _transform_tables()
 
+    cd_k = max(1, -(-CD_T // 512))   # compound dict chunks (512 B each)
+
     def kernel(wt_ref, lit_ref, cmd_ref, dist_ref, bsw_ref, cmap_ref,
                dx_ref, consts_ref, lut_ref, dict_ref, tfm_ref, tfs_ref,
-               scal_ref, out_ref, win, ring, farbuf, sem_in, sem_out,
-               sem_far):
+               cdict_ref, scal_ref, out_ref, win, ring, farbuf, sem_in,
+               sem_out, sem_far):
         zeros_u = jnp.zeros(S, jnp.uint32)
         zeros_i = jnp.zeros(S, jnp.int32)
 
@@ -686,7 +689,7 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
                 d_rem=zeros_i, d_i=zeros_i, d_pre=zeros_i, d_bodyn=zeros_i,
                 d_woff=zeros_i, d_poff=zeros_i, d_soff=zeros_i, d_op=zeros_i,
                 d_clpos=zeros_i, d_cllen=zeros_i, d_clxp=zeros_i,
-                d_clxv=zeros_i, d_fdone=zeros_i,
+                d_clxv=zeros_i, d_fdone=zeros_i, d_src=zeros_i,
             )
 
         def fifo_append(st, add_u64_lo, n):
@@ -830,12 +833,23 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             dw_ = chunk_lookup(dict_ref, 0, dict_k, d_off >> 9,
                                (d_off >> 2) & 127)
             d_b = (dw_ >> ((d_off & 3) * 8)) & 0xFF
+            if CD_T > 0:
+                # compound-dictionary body byte (engine.ts:984-1011): a
+                # plain linear copy from the attached chunks, no
+                # transforms; selected per lane by d_src
+                c_off = jnp.clip(st["d_woff"] + bi, 0, cd_k * 512 - 1)
+                cw_ = chunk_lookup(cdict_ref, 0, cd_k, c_off >> 9,
+                                   (c_off >> 2) & 127)
+                c_b = (cw_ >> ((c_off & 3) * 8)) & 0xFF
+                d_b = jnp.where(st["d_src"] == 1, c_b, d_b)
 
             # ferment (uppercase transforms): UTF-8 cluster state machine
             ferm_on = in_body & (
                 ((st["d_op"] == 10) & (st["d_fdone"] == 0))
                 | (st["d_op"] == 11)
             )
+            if CD_T > 0:
+                ferm_on = ferm_on & (st["d_src"] == 0)
             at_start = ferm_on & (st["d_clpos"] >= st["d_cllen"])
             is_lo = (d_b >= 97) & (d_b <= 122)
             cl_len = jnp.where(d_b < 0xC0, 1, jnp.where(d_b < 0xE0, 2, 3))
@@ -1220,15 +1234,50 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
             )
 
             if use_dict:
-                # static-dictionary reference (engine.ts:903-945)
                 wlen = st["copy_len"]
                 addr = distance - max_dist - 1
+                too_big = is_dict_ref & (distance > 0x7FFFFFFC)
+                sref = is_dict_ref
+                if CD_T > 0:
+                    # compound (custom) dictionary: the first CD_T of the
+                    # beyond-window address space, addressed from its end
+                    # (host engine.py:506-529; engine.ts:964-1011); plain
+                    # linear copy through the DICT phase with d_src=1
+                    is_cd = is_dict_ref & ~too_big & (addr < CD_T)
+                    cd_addr = CD_T - addr - 1
+                    bad_cd = is_cd & (
+                        (cd_addr + wlen > CD_T) | (wlen > st["mbl"])
+                    )
+                    mcd = is_cd & ~bad_cd
+                    # compound pushes the distance ring (unlike static)
+                    st["r3"] = jnp.where(mcd, st["r2"], st["r3"])
+                    st["r2"] = jnp.where(mcd, st["r1"], st["r2"])
+                    st["r1"] = jnp.where(mcd, st["r0"], st["r1"])
+                    st["r0"] = jnp.where(mcd, distance, st["r0"])
+                    st["d_rem"] = jnp.where(mcd, wlen, st["d_rem"])
+                    st["d_i"] = jnp.where(mcd, 0, st["d_i"])
+                    st["d_pre"] = jnp.where(mcd, 0, st["d_pre"])
+                    st["d_bodyn"] = jnp.where(mcd, wlen, st["d_bodyn"])
+                    st["d_woff"] = jnp.where(mcd, cd_addr, st["d_woff"])
+                    st["d_poff"] = jnp.where(mcd, 0, st["d_poff"])
+                    st["d_soff"] = jnp.where(mcd, 0, st["d_soff"])
+                    st["d_op"] = jnp.where(mcd, 0, st["d_op"])
+                    st["d_src"] = jnp.where(mcd, 1, st["d_src"])
+                    st["d_fdone"] = jnp.where(mcd, 0, st["d_fdone"])
+                    st["mbl"] = jnp.where(mcd, st["mbl"] - wlen, st["mbl"])
+                    st["err"] = st["err"] | jnp.where(
+                        bad_cd, ERR_STREAM, 0
+                    )
+                    st["phase"] = jnp.where(mcd, DICT, st["phase"])
+                    addr = addr - CD_T
+                    sref = is_dict_ref & ~is_cd & ~bad_cd
+                # static-dictionary reference (engine.ts:903-945)
                 shift = gather1(consts_ref, 1, jnp.clip(wlen, 0, 31) + 32)
-                bad_d = is_dict_ref & (
-                    (distance > 0x7FFFFFFC) | (wlen > 31) | (wlen < 4)
+                bad_d = sref & (
+                    too_big | (wlen > 31) | (wlen < 4)
                     | (shift == 0)
                 )
-                md = is_dict_ref & ~bad_d
+                md = sref & ~bad_d
                 mask_w = (
                     (jnp.uint32(1) << jnp.clip(shift, 0, 30).astype(jnp.uint32))
                     - 1
@@ -1268,6 +1317,8 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
                 st["d_clpos"] = jnp.where(md, 0, st["d_clpos"])
                 st["d_cllen"] = jnp.where(md, 0, st["d_cllen"])
                 st["d_fdone"] = jnp.where(md, 0, st["d_fdone"])
+                if CD_T > 0:
+                    st["d_src"] = jnp.where(md, 0, st["d_src"])
                 st["mbl"] = jnp.where(md, st["mbl"] - total, st["mbl"])
                 st["err"] = st["err"] | jnp.where(
                     bad_d | bad_t | bad_len, ERR_STREAM, 0
@@ -1510,41 +1561,41 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
 
     if HR == 0:
         def runner(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts,
-                   lut, dict_t, tfm, tfs, scal):
+                   lut, dict_t, tfm, tfs, cdict, scal):
             return pl.pallas_call(
                 kernel,
                 out_shape=out_sd,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
                 out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=interpret,
             )(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts, lut,
-              dict_t, tfm, tfs, scal)
+              dict_t, tfm, tfs, cdict, scal)
     else:
-        # history prefix: the output buffer arrives as input 13 with rows
+        # history prefix: the output buffer arrives as input 14 with rows
         # [g*OSTRIDE, g*OSTRIDE+HR) pre-filled (each lane's prior output,
         # right-aligned); aliasing makes the kernel's out_ref that same
         # buffer, and the kernel never writes the prefix rows.
         def kernel_h(wt_ref, *rest):
-            kernel(wt_ref, *(rest[:12] + rest[13:]))
+            kernel(wt_ref, *(rest[:13] + rest[14:]))
 
         def runner(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts,
-                   lut, dict_t, tfm, tfs, scal, obuf):
+                   lut, dict_t, tfm, tfs, cdict, scal, obuf):
             return pl.pallas_call(
                 kernel_h,
                 out_shape=out_sd,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
                 + [pl.BlockSpec(memory_space=pltpu.ANY)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-                input_output_aliases={13: 0},
+                input_output_aliases={14: 0},
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=interpret,
             )(wt, lit_t, cmd_t, dist_t, bsw_t, cmap_t, dx_t, consts, lut,
-              dict_t, tfm, tfs, scal, obuf)
+              dict_t, tfm, tfs, cdict, scal, obuf)
 
     return runner
 
@@ -1553,15 +1604,25 @@ def _build(Wpad: int, D: int, configs: tuple, V: int, n_out_rows: int,
 def get_kernel_v3(Wpad: int, D: int, configs: tuple, V: int,
                   n_out_rows: int, row_budget: int | None = None,
                   use_dict: bool = True, interpret: bool = False,
-                  HR: int = 0):
+                  HR: int = 0, CD_T: int = 0):
     import jax
 
     if row_budget is None:
         row_budget = 4 * n_out_rows + 4096
     return jax.jit(
         _build(Wpad, D, configs, V, n_out_rows, row_budget, use_dict,
-               interpret, HR)
+               interpret, HR, CD_T)
     )
+
+
+def _compound_flat(custom_dictionary) -> bytes:
+    """Compound chunks as one linear buffer (host copies across chunk
+    seams byte-linearly, so concatenation is equivalent)."""
+    if not custom_dictionary:
+        return b""
+    if isinstance(custom_dictionary, (bytes, bytearray, memoryview)):
+        return bytes(custom_dictionary)
+    return b"".join(bytes(c) for c in custom_dictionary)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1573,10 +1634,18 @@ DEFAULT_H3 = 4096
 
 def staged_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
               interpret: bool = False, use_dict: bool = True,
-              row_budget: int | None = None):
+              row_budget: int | None = None, custom_dictionary=None,
+              dict_dev=None):
     """Compile the fused kernel for `batch` and stage its arguments on
     device; returns (kernel, args, n_out_rows).  The bench times
-    kernel(*args) without any host transfer in the loop."""
+    kernel(*args) without any host transfer in the loop.
+
+    dict_dev: a pre-broadcast static-dictionary chunk array (e.g. from
+    parallel.mesh.broadcast_dictionary_chunks) consumed instead of
+    staging the dictionary per call — the multichip path stages it once,
+    replicated over the mesh.  custom_dictionary: compound chunks
+    (bytes or list of bytes) decoded on device via the CD_T address
+    space."""
     import jax.numpy as jnp
 
     V = H // 4
@@ -1585,15 +1654,23 @@ def staged_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
     HR = batch.HR
     dict_t, _ = _dict_chunks()
     tfm, tfs, _ = _transform_tables()
+    cd_raw = _compound_flat(custom_dictionary)
+    CD_T = len(cd_raw)
+    cd_k = max(1, -(-CD_T // 512))
+    pad = (-CD_T) % 4
+    cd_words = np.frombuffer(cd_raw + b"\x00" * pad, "<u4").view(np.int32)
+    cdict = _replicate(cd_words, cd_k)
     kernel = get_kernel_v3(
         batch.Wpad, D, batch.configs, V, n_out_rows, row_budget,
-        use_dict, interpret, HR,
+        use_dict, interpret, HR, CD_T,
     )
     args = [jnp.asarray(x) for x in (
         batch.wt, batch.lit_t, batch.cmd_t, batch.dist_t, batch.bsw_t,
         batch.cmap_t, batch.dx_t, _build_consts(), _context_lut_chunks(),
-        dict_t, tfm, tfs, batch.scal,
+        dict_t, tfm, tfs, cdict, batch.scal,
     )]
+    if dict_dev is not None:
+        args[9] = dict_dev
     if HR > 0:
         # output buffer with each lane's prior output right-aligned at
         # row HR (end at byte 4*HR), zero left-padding for alignment
@@ -1613,13 +1690,15 @@ def staged_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
 
 def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
                  interpret: bool = False, use_dict: bool = True,
-                 row_budget: int | None = None):
-    """Run the fused kernel; returns (out (G,n_out+8,8,128) np, n_out_rows).
-
-    Rows n_out..n_out+4 of each group: err, r_lane, phase, mbl, widx."""
+                 row_budget: int | None = None, custom_dictionary=None,
+                 dict_dev=None):
+    """Run the fused kernel; returns (out (G,n_out+TAIL,8,128) np,
+    n_out_rows).  Status rows n_out..: err, r_lane, phase, mbl, widx,
+    avail, r0..r3."""
     kernel, args, n_out_rows = staged_v3(
         batch, H=H, D=D, interpret=interpret, use_dict=use_dict,
-        row_budget=row_budget,
+        row_budget=row_budget, custom_dictionary=custom_dictionary,
+        dict_dev=dict_dev,
     )
     out = kernel(*args)
     full = np.asarray(out).reshape(
@@ -1630,7 +1709,8 @@ def run_batch_v3(batch: V3Batch, *, H: int = DEFAULT_H3, D: int = 64,
 
 def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
                     interpret: bool = False, use_dict: bool = True,
-                    max_groups: int = 4) -> list[bytes]:
+                    max_groups: int = 4, custom_dictionary=None,
+                    dict_dev=None) -> list[bytes]:
     """Full-format device decode with per-lane host fallback.
 
     Any single-compressed-metablock stream is device-eligible regardless of
@@ -1642,9 +1722,11 @@ def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
 
     batch = preflight_v3(streams, max_groups=max_groups)
     if batch is None:
-        return [host_decode(s) for s in streams]
+        return [host_decode(s, custom_dictionary=custom_dictionary)
+                for s in streams]
     out, n_out_rows = run_batch_v3(
-        batch, H=H, interpret=interpret, use_dict=use_dict
+        batch, H=H, interpret=interpret, use_dict=use_dict,
+        custom_dictionary=custom_dictionary, dict_dev=dict_dev,
     )
     errs = out[:, n_out_rows].reshape(-1)  # status row 0 (post-HR slice)
     # truncated-stream guard (v2's lane_overran analog): the batch word
@@ -1672,7 +1754,9 @@ def decode_batch_v3(streams: list[bytes], *, H: int = DEFAULT_H3,
             continue
         if errs[slot] != 0:
             n_fallback += 1
-            results[i] = host_decode(streams[i])
+            results[i] = host_decode(
+                streams[i], custom_dictionary=custom_dictionary
+            )
         else:
             results[i] = bytes(raw[slot, : batch.mlens[slot]])
     _note_fallbacks(batch.n_streams, n_fallback)
@@ -1702,7 +1786,8 @@ def _caps_full_ok(st) -> bool:
 
 def decode_batch_v3_full(streams: list[bytes], *, H: int = DEFAULT_H3,
                          interpret: bool = False, use_dict: bool = True,
-                         max_groups: int = 4) -> list[bytes]:
+                         max_groups: int = 4, custom_dictionary=None,
+                         dict_dev=None) -> list[bytes]:
     """Device decode of arbitrary (multi-metablock) Brotli streams.
 
     The host walks each stream's metablock headers (reference
@@ -1813,7 +1898,8 @@ def decode_batch_v3_full(streams: list[bytes], *, H: int = DEFAULT_H3,
                 live[e.idx] = False
             break
         out, n_out_rows = run_batch_v3(
-            batch, H=H, interpret=interpret, use_dict=use_dict
+            batch, H=H, interpret=interpret, use_dict=use_dict,
+            custom_dictionary=custom_dictionary, dict_dev=dict_dev,
         )
         errs = out[:, n_out_rows].reshape(-1).astype(np.int64)
         widx_r = out[:, n_out_rows + 4].reshape(-1).astype(np.int64)
@@ -1853,7 +1939,8 @@ def decode_batch_v3_full(streams: list[bytes], *, H: int = DEFAULT_H3,
 
     n_fallback = sum(failed)
     results = [
-        host_decode(streams[i]) if failed[i] else bytes(outs[i])
+        host_decode(streams[i], custom_dictionary=custom_dictionary)
+        if failed[i] else bytes(outs[i])
         for i in range(n)
     ]
     _note_fallbacks(n, n_fallback)

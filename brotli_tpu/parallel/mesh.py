@@ -273,3 +273,63 @@ def encode_batches_multichip(
     for dev, state in states:
         out.extend(_encode_finish(state))
     return out
+
+
+def broadcast_dictionary_chunks(mesh=None):
+    """The static dictionary in the v3 kernel's chunk layout, replicated
+    over the mesh (one broadcast over ICI, HBM-resident per device).
+    Consumed by decode_batch_v3_multichip / staged_v3(dict_dev=...) —
+    kernels read dictionary bytes from THIS array's per-device shards
+    instead of re-staging 122 KB per call (SURVEY section 2.3
+    "dictionary broadcast"; reference ensureDictionary
+    engine.ts:2060-2082)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.pallas_decode3 import _dict_chunks
+
+    if mesh is None:
+        mesh = get_mesh()
+    chunks, _ = _dict_chunks()
+    return jax.device_put(jnp.asarray(chunks), NamedSharding(mesh, P()))
+
+
+def decode_batch_v3_multichip(
+    streams: list[bytes],
+    mesh=None,
+    *,
+    interpret: bool = False,
+    H: int = 2048,
+    group_size: int = 1024,
+    custom_dictionary=None,
+    dict_bcast=None,
+) -> list[bytes]:
+    """Full-format (v3 fused kernel) decode across mesh devices.
+
+    Stream groups round-robin over devices; the 122 KB static dictionary
+    is broadcast ONCE (replicated sharding) and each device's kernel
+    consumes its local shard of the broadcast array (zero re-upload)."""
+    import jax
+
+    from ..ops.pallas_decode3 import decode_batch_v3_full
+
+    if mesh is None:
+        mesh = get_mesh()
+    devices = list(mesh.devices.reshape(-1))
+    if dict_bcast is None:
+        dict_bcast = broadcast_dictionary_chunks(mesh)
+    shard_of = {s.device: s.data for s in dict_bcast.addressable_shards}
+
+    groups = [streams[i: i + group_size]
+              for i in range(0, len(streams), group_size)]
+    results: list[bytes] = []
+    for gi, group in enumerate(groups):
+        dev = devices[gi % len(devices)]
+        with jax.default_device(dev):
+            results.extend(decode_batch_v3_full(
+                group, H=H, interpret=interpret,
+                custom_dictionary=custom_dictionary,
+                dict_dev=shard_of.get(dev),
+            ))
+    return results

@@ -149,3 +149,30 @@ def test_large_window_decode():
     assert brotli_tpu.decode(s, large_window=True) == data
     with pytest.raises(brotli_tpu.BrotliError):
         brotli_tpu.decode(s)  # without the flag the stream must be rejected
+
+
+def test_compound_dictionary_on_device_v3():
+    """VERDICT r4 #8: compound-dictionary streams decode through the v3
+    fused kernel (CD_T address space past the window; seam-crossing copy;
+    ring push; overflow flags the lane instead of mis-decoding)."""
+    from brotli_tpu.ops.pallas_decode3 import decode_batch_v3
+
+    d1 = b"hello world dictionary content!"
+    chunks = [b"AAAABBBB", b"CCCCDDDD"]
+    total = sum(len(c) for c in chunks)
+    cases = [
+        (_craft_dict_stream(len(d1), b"abc", 8, len(d1)), d1,
+         b"abc" + d1[:8]),
+        (_craft_dict_stream(len(d1), b"xy", 4, 4), d1, b"xy" + d1[-4:]),
+        (_craft_dict_stream(total, b"!", 12, 14), chunks,
+         b"!" + (b"".join(chunks))[-14:][:12]),
+    ]
+    for s, cd, expected in cases:
+        got = decode_batch_v3([s], H=512, interpret=True,
+                              custom_dictionary=cd)
+        assert got == [expected], (s, expected)
+    # overflow: the lane must flag and the host fallback raise
+    bad = _craft_dict_stream(4, b"abc", 16, 4)
+    with pytest.raises(brotli_tpu.BrotliError):
+        decode_batch_v3([bad], H=512, interpret=True,
+                        custom_dictionary=b"tiny")

@@ -160,3 +160,35 @@ def test_multihost_sim_two_processes():
     report = json.loads(r.stdout.decode().strip().splitlines()[-1])
     assert report["multihost_sim"] == "ok"
     assert all(w["roundtrip_ok"] for w in report["workers"])
+
+
+def test_v3_multichip_broadcast_dictionary_consumed():
+    """VERDICT r4 #7: the replicated dictionary broadcast is CONSUMED by
+    the v3 kernels — each device's kernel reads its local shard of the
+    broadcast array (no per-call re-staging), and dictionary-word
+    streams decode correctly through it."""
+    from brotli_tpu.ops.pallas_decode3 import decode_batch_v3_full
+    from brotli_tpu.parallel.mesh import (
+        broadcast_dictionary_chunks,
+        decode_batch_v3_multichip,
+    )
+
+    mesh = get_mesh(4)
+    bcast = broadcast_dictionary_chunks(mesh)
+    # dictionary-heavy content: quickfox is literally static-dict words
+    streams = [
+        open(f"{VECTORS_DIR}/ukkonooa.compressed", "rb").read(),
+        encode(b"the quick brown fox jumps over the lazy dog " * 3,
+               quality=11),
+    ]
+    exp = [decode(s) for s in streams]
+    got = decode_batch_v3_multichip(
+        streams, mesh, H=1024, interpret=True, group_size=1,
+        dict_bcast=bcast,
+    )
+    assert got == exp
+    # single-device path also accepts the shard directly
+    shard = bcast.addressable_shards[0].data
+    got1 = decode_batch_v3_full([streams[0]], H=1024, interpret=True,
+                                dict_dev=shard)
+    assert got1 == exp[:1]
