@@ -64,7 +64,10 @@ ENC_DEPTH = 4  # d8 buys <0.001 ratio over d4 and doubles the match sorts
 ENC_TABLE_GROUPS = 2
 ENC_CTX_TREES = 8      # context-mapped literal trees (UTF8 mode)
 FF_CHUNK = 4096        # full-format (v3) decode batch chunk size
-FF_H = 4096
+FF_H = 1024            # VMEM ring per group (far-fetch covers beyond)
+FF_GROUPS = 6          # interleaved lane-groups: the v3 symbol chain is
+                       # latency-bound, so independent groups fill bubbles
+                       # (v2 measured near-linear to G=12)
 REP = 3
 
 TEXT_FIXTURES = (
@@ -325,11 +328,18 @@ def main() -> None:
     # static-dictionary stream bit-exactly through the same kernel.
     from brotli_tpu.ops import pallas_decode3 as P3
 
-    ff_data = (text * 64)[: 1024 * FF_CHUNK]
-    ff_streams = DE.encode_device_batch(
-        ff_data, chunk_size=FF_CHUNK, max_distance=FF_H - 16,
-        chain_depth=ENC_DEPTH, table_groups=1, lit_ctx_trees=ENC_CTX_TREES,
-    )
+    # FF_GROUPS independent 1024-stream lane-groups (per-batch tables give
+    # each batch its own signature, so they bin into separate groups and
+    # interleave in ONE kernel — the latency-hiding lever)
+    ff_data = (text * 64)[: FF_GROUPS * 1024 * FF_CHUNK]
+    ff_streams = []
+    for gi in range(FF_GROUPS):
+        piece = ff_data[gi * 1024 * FF_CHUNK:(gi + 1) * 1024 * FF_CHUNK]
+        ff_streams.extend(DE.encode_device_batch(
+            piece, chunk_size=FF_CHUNK, max_distance=FF_H - 16,
+            chain_depth=ENC_DEPTH, table_groups=1,
+            lit_ctx_trees=ENC_CTX_TREES,
+        ))
     gate_names = ["ukkonooa", "10x10y", "64x", "monkey", "cp852-utf8"]
     gdir = "/root/reference/test/fixtures/vectors"
     gstreams = [open(f"{gdir}/{n}.compressed", "rb").read()
@@ -338,9 +348,11 @@ def main() -> None:
     got_g = P3.decode_batch_v3(gstreams, H=2048, max_groups=8)
     n_vec_ok = sum(int(a == b) for a, b in zip(got_g, gexp))
 
-    ff_batch = P3.preflight_v3(ff_streams, max_groups=2)
+    ff_batch = P3.preflight_v3(ff_streams, max_groups=FF_GROUPS)
     assert ff_batch is not None, "full-format batch must be v3-eligible"
-    k3, a3, n_out3 = P3.staged_v3(ff_batch, H=FF_H)
+    # our own streams carry no static-dictionary refs: use_dict=False
+    # drops the per-row DICT phase + dictionary VMEM from the timed kernel
+    k3, a3, n_out3 = P3.staged_v3(ff_batch, H=FF_H, use_dict=False)
     out3 = k3(*a3)
     out3_np = np.asarray(out3).reshape(
         ff_batch.groups, n_out3 + P3.TAIL, 8, 128

@@ -24,7 +24,8 @@ def _build() -> Path:
     the hash stamp guarantees the loaded .so matches the checked-out sources
     and was built on this host.
     """
-    srcs = [_DIR / "lz_resolve.cpp", _DIR / "decoder.cpp"]
+    srcs = [_DIR / "lz_resolve.cpp", _DIR / "decoder.cpp",
+            _DIR / "table_builder.cpp"]
     out = _DIR / "libbrotli_tpu_native.so"
     stamp = _DIR / ".native_build_hash"
     h = hashlib.sha256()
@@ -70,8 +71,59 @@ def get_lib() -> ctypes.CDLL:
             + [ctypes.c_int32]
             + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         )
+        bh = lib.native_build_huffman_code
+        bh.restype = None
+        bh.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                       ctypes.c_void_p]
+        cc = lib.native_cluster_context_map
+        cc.restype = ctypes.c_int
+        cc.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_void_p]
         _LIB = lib
     return _LIB
+
+
+def build_huffman_code_native(histogram, alphabet_size: int):
+    """Bit-identical native analog of entropy.build_huffman_code (same
+    count-limit retry + tie-breaking); returns (depths, bits, count, s4)
+    as python lists for drop-in use."""
+    import numpy as np
+
+    h = np.ascontiguousarray(np.asarray(histogram, np.int64)[:alphabet_size])
+    if h.shape[0] < alphabet_size:
+        h = np.concatenate([h, np.zeros(alphabet_size - h.shape[0], np.int64)])
+    nz = np.flatnonzero(h)
+    count = int(nz.shape[0])
+    s4 = [0, 0, 0, 0]
+    for k in range(min(4, count)):
+        s4[k] = int(nz[k])
+    if count <= 1:
+        return [0] * alphabet_size, [0] * alphabet_size, count, s4
+    lib = get_lib()
+    depths = np.zeros(alphabet_size, np.uint8)
+    bits = np.zeros(alphabet_size, np.uint16)
+    lib.native_build_huffman_code(
+        h.ctypes.data, alphabet_size, depths.ctypes.data, bits.ctypes.data
+    )
+    return depths.astype(np.int64).tolist(), bits.astype(np.int64).tolist(), \
+        count, s4
+
+
+def cluster_context_map_native(hists, rows: int, syms: int):
+    """Bit-identical native analog of
+    metablock_full._cluster_and_build_context_map; returns
+    (num_clusters, context_map list)."""
+    import numpy as np
+
+    if rows <= 1:
+        return 1, [0] * max(1, rows)
+    arr = np.ascontiguousarray(np.asarray(hists, np.int64).reshape(rows, syms))
+    cmap = np.zeros(rows, np.int32)
+    lib = get_lib()
+    n = lib.native_cluster_context_map(
+        arr.ctypes.data, rows, syms, 64, cmap.ctypes.data
+    )
+    return int(n), cmap.astype(np.int64).tolist()
 
 
 def lz_resolve_batch_v2(tokens, expected_lens, n_threads: int = 8):

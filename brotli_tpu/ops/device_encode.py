@@ -155,7 +155,8 @@ def _literal_context(d32, N, mode: int):
 # ---------------------------------------------------------------------------
 
 def find_matches(data_u8, n_valid, hash_stride: int = 1,
-                 max_distance: int | None = None, chain_depth: int = 2):
+                 max_distance: int | None = None, chain_depth: int = 2,
+                 hash2: bool = False):
     """data_u8 (B, N+MATCH_CAP+4) u8 device array; n_valid (B,) int32.
 
     hash_stride: 1 = hash every position (best ratio); 2 = hash every other
@@ -189,65 +190,83 @@ def find_matches(data_u8, n_valid, hash_stride: int = 1,
     N2 = N // st
     pbits = (N2 - 1).bit_length()
     w2 = [x[:, ::st] for x in w] if st > 1 else w
-    h = ((w2[0] * HASH_MUL) >> 15) & ((1 << (31 - pbits)) - 1)
     pos2 = jax.lax.broadcasted_iota(jnp.int32, (B, N2), 1)
-    key = (h << pbits) | pos2
 
-    srt = lax.sort((key,) + tuple(w2), dimension=1, num_keys=1)
-    skey = srt[0]
-    sw = srt[1:]
-    spos = (skey & ((1 << pbits) - 1)) * st
-    shash = skey >> pbits
+    def hash_pass(h, depth):
+        """One sorted-adjacency candidate pass for hash values `h`:
+        returns (len, dist) per (strided) position, in position order."""
+        key = (h << pbits) | pos2
+        srt = lax.sort((key,) + tuple(w2), dimension=1, num_keys=1)
+        skey = srt[0]
+        sw = srt[1:]
+        spos = (skey & ((1 << pbits) - 1)) * st
+        shash = skey >> pbits
 
-    def neighbor(j):
-        """Candidate = j-th previous entry in sorted order (same hash)."""
-        cpos = jnp.concatenate(
-            [jnp.full((B, j), -1, jnp.int32), spos[:, :-j]], axis=1
-        )
-        same = jnp.concatenate(
-            [jnp.zeros((B, j), jnp.bool_), shash[:, j:] == shash[:, :-j]], axis=1
-        )
-        # common prefix of the carried 16-byte windows
-        mlen = jnp.full((B, N2), MATCH_CAP, jnp.int32)
-        done = jnp.zeros((B, N2), jnp.bool_)
-        for k in range(MATCH_CAP // 4):
-            cw = jnp.concatenate(
-                [jnp.zeros((B, j), jnp.int32), sw[k][:, :-j]], axis=1
+        def neighbor(j):
+            """Candidate = j-th previous entry in sorted order (same
+            hash)."""
+            cpos = jnp.concatenate(
+                [jnp.full((B, j), -1, jnp.int32), spos[:, :-j]], axis=1
             )
-            x = jnp.bitwise_xor(sw[k], cw)
-            has_diff = x != 0
-            # count trailing zero BYTES of x (little-endian byte order)
-            tz = jnp.where(
-                (x & 0xFF) != 0, 0,
-                jnp.where(
-                    (x & 0xFFFF) != 0, 1,
-                    jnp.where((x & 0xFFFFFF) != 0, 2, 3),
-                ),
+            same = jnp.concatenate(
+                [jnp.zeros((B, j), jnp.bool_), shash[:, j:] == shash[:, :-j]],
+                axis=1,
             )
-            word_len = k * 4 + tz
-            mlen = jnp.where(~done & has_diff, word_len, mlen)
-            done = done | has_diff
-        dist = spos - cpos
-        ok = same & (cpos >= 0) & (mlen >= 4)
-        if max_distance is not None:
-            ok = ok & (dist <= max_distance)
-        return jnp.where(ok, mlen, 0), jnp.where(ok, dist, 0)
+            # common prefix of the carried 16-byte windows
+            mlen = jnp.full((B, N2), MATCH_CAP, jnp.int32)
+            done = jnp.zeros((B, N2), jnp.bool_)
+            for k in range(MATCH_CAP // 4):
+                cw = jnp.concatenate(
+                    [jnp.zeros((B, j), jnp.int32), sw[k][:, :-j]], axis=1
+                )
+                x = jnp.bitwise_xor(sw[k], cw)
+                has_diff = x != 0
+                # count trailing zero BYTES of x (little-endian byte order)
+                tz = jnp.where(
+                    (x & 0xFF) != 0, 0,
+                    jnp.where(
+                        (x & 0xFFFF) != 0, 1,
+                        jnp.where((x & 0xFFFFFF) != 0, 2, 3),
+                    ),
+                )
+                word_len = k * 4 + tz
+                mlen = jnp.where(~done & has_diff, word_len, mlen)
+                done = done | has_diff
+            dist = spos - cpos
+            ok = same & (cpos >= 0) & (mlen >= 4)
+            if max_distance is not None:
+                ok = ok & (dist <= max_distance)
+            return jnp.where(ok, mlen, 0), jnp.where(ok, dist, 0)
 
-    slen, sdist = neighbor(1)
-    for j in range(2, chain_depth + 1):
-        lj, dj = neighbor(j)
-        # longer wins; nearer wins ties (sorted adjacency makes j-th
-        # neighbor the j-th nearest, so ties keep the earlier candidate)
-        better = (lj > slen) | ((lj == slen) & (dj < sdist) & (lj > 0))
-        slen = jnp.where(better, lj, slen)
-        sdist = jnp.where(better, dj, sdist)
+        slen, sdist = neighbor(1)
+        for j in range(2, depth + 1):
+            lj, dj = neighbor(j)
+            # longer wins; nearer wins ties (sorted adjacency makes j-th
+            # neighbor the j-th nearest, so ties keep the earlier one)
+            better = (lj > slen) | ((lj == slen) & (dj < sdist) & (lj > 0))
+            slen = jnp.where(better, lj, slen)
+            sdist = jnp.where(better, dj, sdist)
 
-    # back to position order: key = spos (unique per lane), payload packed
-    packed = (slen << 16) | sdist  # len<=16 (5b), dist<2^15
-    back = lax.sort((spos, packed), dimension=1, num_keys=1)
-    p2 = back[1]
-    mlen_e = p2 >> 16
-    mdist_e = p2 & 0xFFFF
+        # back to position order: key = spos (unique/lane), packed payload
+        packed = (slen << 16) | sdist  # len<=16 (5b), dist<2^15
+        back = lax.sort((spos, packed), dimension=1, num_keys=1)
+        p2 = back[1]
+        return p2 >> 16, p2 & 0xFFFF
+
+    h4 = ((w2[0] * HASH_MUL) >> 15) & ((1 << (31 - pbits)) - 1)
+    mlen_e, mdist_e = hash_pass(h4, chain_depth)
+    if hash2:
+        # second pass keyed on 7 bytes: rarer collisions, so the nearest
+        # sorted neighbor is usually the best LONG match even when the
+        # 4-byte bucket is polluted by short repeats (the device analog
+        # of the reference's deeper chain walks, hash-chains.ts:69-126)
+        mul2 = jnp.int32(0x9E3779B1 - (1 << 32))   # golden-ratio odd mult
+        h7 = ((w2[0] * HASH_MUL) ^ ((w2[1] & 0xFFFFFF) * mul2)) >> 15
+        h7 = h7 & ((1 << (31 - pbits)) - 1)
+        l7, d7 = hash_pass(h7, 2)
+        better = (l7 > mlen_e) | ((l7 == mlen_e) & (d7 < mdist_e) & (l7 > 0))
+        mlen_e = jnp.where(better, l7, mlen_e)
+        mdist_e = jnp.where(better, d7, mdist_e)
     if st > 1:
         # interleave strided results with zeros at unhashed positions
         z = jnp.zeros((B, N2), jnp.int32)
@@ -303,7 +322,7 @@ def find_matches(data_u8, n_valid, hash_stride: int = 1,
 # stage 5: greedy parse (lax.scan over cells)
 # ---------------------------------------------------------------------------
 
-def greedy_parse(mlen, mdist, n_valid):
+def greedy_parse(mlen, mdist, n_valid, lazy=(105, 175), min_gate=9):
     """Returns (is_cs, is_lit, dcode_short) (B, N).
 
     Match selection is score-based like the reference's hasher scoring
@@ -328,10 +347,10 @@ def greedy_parse(mlen, mdist, n_valid):
     B, N = mlen.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
     score = 135 * mlen - 30 * _ilog2(jnp.maximum(mdist, 1))
-    # weak-match gate: a len-4 copy at distance >= 2^9 (~26+ bits) is not
+    # weak-match gate: a len-4 copy at distance >= 2^min_gate is not
     # clearly cheaper than 4 context-coded literals; require len to grow
     # with log2(dist)
-    strong = (mlen >= 4) & (score >= 135 * 4 - 30 * 9)
+    strong = (mlen >= 4) & (score >= 135 * 4 - 30 * min_gate)
 
     def sh1(a, j):
         return jnp.concatenate(
@@ -340,7 +359,7 @@ def greedy_parse(mlen, mdist, n_valid):
 
     s1 = sh1(score, 1)
     s2 = sh1(score, 2)
-    take = strong & ~(s1 >= score + 105) & ~(s2 >= score + 175)
+    take = strong & ~(s1 >= score + lazy[0]) & ~(s2 >= score + lazy[1])
     take = take & (pos < n_valid[:, None])
 
     take_c = take.reshape(B, N // CELL, CELL).transpose(1, 0, 2)
@@ -573,6 +592,7 @@ def _tab_chunks(nt: int) -> int:
 @_functools.lru_cache(maxsize=16)
 def _jitted_stages(hash_stride: int, max_distance: int | None = None,
                    chain_depth: int = 2, lit_ctx: bool = False,
+                   hash2: bool = False, lazy=(105, 175), min_gate: int = 9,
                    nbt: int = 1, pseg: int = 2048):
     import jax
 
@@ -580,7 +600,8 @@ def _jitted_stages(hash_stride: int, max_distance: int | None = None,
         _functools.partial(_device_stages, hash_stride=hash_stride,
                            max_distance=max_distance,
                            chain_depth=chain_depth, lit_ctx=lit_ctx,
-                           nbt=nbt, pseg=pseg)
+                           nbt=nbt, pseg=pseg, hash2=hash2, lazy=lazy,
+                           min_gate=min_gate)
     )
 
 
@@ -1002,15 +1023,29 @@ def _group_tables_from_hists(lit_hists, cmd_hist, dist_hist, nt: int):
     via the reference's exact bit-cost agglomerative clustering
     (cluster.ts:317-378, reused from the host encoder) — measured ~2pt
     better ratio than L2 k-means on font content."""
-    from ..encode.entropy import build_huffman_code
-    from ..encode.metablock_full import _cluster_and_build_context_map
+    # native (C++) table build when available: bit-identical to the python
+    # implementations (tests/test_native_tables.py), ~150x faster - the
+    # per-batch host table step otherwise caps encode throughput
+    try:
+        from ..native import (
+            build_huffman_code_native as build_huffman_code,
+            cluster_context_map_native,
+        )
+
+        def _cluster_ctx(hists_list, rows, syms):
+            return cluster_context_map_native(hists_list, rows, syms)
+    except Exception:  # pragma: no cover - toolchain-less hosts
+        from ..encode.entropy import build_huffman_code
+        from ..encode.metablock_full import (
+            _cluster_and_build_context_map as _cluster_ctx,
+        )
 
     n_rows = lit_hists.shape[0]   # 64 contexts, x NBT block types if split
     if nt == 1:
         cmap = np.zeros(n_rows, np.int64)
         tree_hists = lit_hists.sum(axis=0, keepdims=True)
     else:
-        n_used, cm = _cluster_and_build_context_map(
+        n_used, cm = _cluster_ctx(
             lit_hists.tolist(), n_rows, NUM_LITERAL_SYMBOLS
         )
         cmap = np.asarray(cm, np.int64)
@@ -1392,13 +1427,15 @@ def _segment_stats(data_arr, is_lit, nbt: int, pseg: int, feat_stride: int = 8):
 
 def _device_stages(data_arr, n_valid, hash_stride: int = 1,
                    max_distance: int | None = None, chain_depth: int = 2,
-                   lit_ctx: bool = False, nbt: int = 1, pseg: int = 2048):
+                   lit_ctx: bool = False, nbt: int = 1, pseg: int = 2048,
+                   hash2: bool = False, lazy=(105, 175), min_gate: int = 9):
     """All XLA stages fused under one jit: records ready for packing."""
     import jax.numpy as jnp
 
     mlen, mdist = find_matches(data_arr, n_valid, hash_stride, max_distance,
-                               chain_depth)
-    is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid)
+                               chain_depth, hash2)
+    is_cs, is_lit, dcode_short = greedy_parse(mlen, mdist, n_valid,
+                                              lazy, min_gate)
     rec0, rec1, n_rec = build_records(
         data_arr, mlen, mdist, is_cs, is_lit, dcode_short, n_valid,
         lit_ctx=lit_ctx,
@@ -1421,7 +1458,9 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
                   chain_depth: int = 2, device_input=None,
                   lit_ctx: bool = False,
                   hist_stride: int = _HIST_STRIDE_DEFAULT,
-                  block_types: int = 1, block_seg: int = 2048):
+                  block_types: int = 1, block_seg: int = 2048,
+                  hash2: bool = False, lazy=(105, 175),
+                  min_gate: int = 9):
     """Host prep + dispatch of the XLA match/parse/record stages.
 
     Returns a state dict; the device work is in flight when this returns
@@ -1461,7 +1500,7 @@ def _encode_start(data: bytes, chunk_size: int, hash_stride: int,
         assert lit_ctx, "block_types > 1 requires lit_ctx records"
         assert chunk_size % block_seg == 0 and nbt <= 7
     stages = _jitted_stages(hash_stride, max_distance, chain_depth, lit_ctx,
-                            nbt, block_seg)
+                            hash2, tuple(lazy), min_gate, nbt, block_seg)
     outs = stages(data_arr, n_valid)
     rec0, rec1, n_rec = outs[:3]
     seg_type, seg_litcnt = (outs[3], outs[4]) if nbt > 1 else (None, None)
@@ -1490,6 +1529,9 @@ def encode_device_batch(
     hist_stride: int = _HIST_STRIDE_DEFAULT,
     block_types: int = 1,
     block_seg: int = 2048,
+    hash2: bool = False,
+    lazy=(105, 175),
+    min_gate: int = 9,
 ) -> list[bytes]:
     """Encode `data` on the TPU as B<=1024 chunk streams.
 
@@ -1514,7 +1556,8 @@ def encode_device_batch(
                           max_distance, chain_depth,
                           lit_ctx=lit_ctx_trees > 1,
                           hist_stride=hist_stride,
-                          block_types=block_types, block_seg=block_seg)
+                          block_types=block_types, block_seg=block_seg,
+                          hash2=hash2, lazy=lazy, min_gate=min_gate)
     _encode_mid(state, lgwin, interpret, table_groups, lit_ctx_trees)
     return _encode_finish(state)
 
